@@ -1,0 +1,404 @@
+"""The jitted hard-assignment EM engine for mixtures of marginalizable
+linear-Gaussian state-space models.
+
+Reference semantics (framework/marginalizable_mixture_model.py):
+
+- E step (``mle_cluster_assignment`` :724-791, ``E_step`` :1235-1252):
+  per-cluster joint log-likelihoods of every instance's stacked trajectory
+  (NaN coordinates exactly marginalized), argmax of ``π_c · L_c``; the number
+  of changed assignments drives convergence (0 switches ⇒ converged).
+- M step (:1254-1308): per-cluster propensity = membership mean; initial
+  moments from finite first-step states; transition and measurement models by
+  (optionally ridge-regularized) least squares over stacked finite pairs;
+  residual covariances mean-centered with ddof = 1.
+- ``train`` (:1310-1366): abort before training if any cluster has ≤ 3
+  members; M first, then E → (converged? / near-empty?) → M, up to n_steps.
+- Objective (``e_complete_data_log_lik`` :579-624): hard-assignment complete
+  data log-likelihood with a *fresh* E assignment.
+
+TPU-native design: per-cluster Python lists become stacked ``(C, …)`` arrays
+in a :class:`MixtureParams` pytree; the per-instance numba loop becomes the
+pattern-grouped masked Gaussian kernel; the M step is a handful of einsums
+(MXU) + tiny per-cluster solves; the training loop is a ``lax.while_loop``
+whose state carries a status code replicating the reference's exact stop
+conditions.  Everything vmaps over a leading *restart* axis for multi-start
+training and shards over the trajectory axis for data parallelism.
+
+Deviations from the reference (deliberate, documented):
+- argmax and mixture log-likelihoods are computed in log space
+  (``log π + ll`` / logsumexp) instead of ``π · exp(ll)`` — identical argmax
+  and strictly better numerics except when every cluster underflows to 0,
+  where the reference degenerates to argmax-of-zeros.
+- degenerate M-step solves produce NaN parameters instead of raising; NaN
+  objectives are never selected by the multi-start winner rule, replicating
+  the reference's exception-swallowing restart protocol (:1439-1464).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
+from multimodal_trajectory_modeling_tpu.ops import moments as mops
+from multimodal_trajectory_modeling_tpu.ops import regression as rops
+
+__all__ = [
+    "MixtureParams",
+    "STATUS_RUNNING",
+    "STATUS_CONVERGED",
+    "STATUS_EMPTY_CLUSTER",
+    "STATUS_INIT_ABORT",
+    "pack_joint",
+    "pack_observed",
+    "cluster_joint_moments",
+    "cluster_observed_moments",
+    "estep_logliks",
+    "observed_logliks",
+    "assignments_from_logliks",
+    "mstep",
+    "complete_data_loglik",
+    "model_loglik",
+    "train_em",
+    "train_em_multistart",
+]
+
+STATUS_RUNNING = 0
+STATUS_CONVERGED = 1
+STATUS_EMPTY_CLUSTER = 2
+STATUS_INIT_ABORT = 3
+
+
+class MixtureParams(NamedTuple):
+    """Stacked per-cluster parameters (leading axis C).
+
+    Mirrors the reference's per-cluster lists
+    (marginalizable_mixture_model.py:83-125): propensities π, initial state
+    mean m / cov S, transition matrix A / cov G, measurement matrix H / cov L
+    (row-vector convention ``z' = z A``, ``x = z H``).
+    """
+
+    pi: jax.Array  # (C,)
+    m: jax.Array  # (C, d)
+    S: jax.Array  # (C, d, d)
+    A: jax.Array  # (C, d, d)
+    G: jax.Array  # (C, d, d)
+    H: jax.Array  # (C, d, l)
+    L: jax.Array  # (C, l, l)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.pi.shape[0]
+
+
+def pack_joint(z: jax.Array, x: jax.Array) -> jax.Array:
+    """Stack ``(T,n,d)`` states and ``(T,n,l)`` observations into the joint
+    layout ``[z_1..z_T, x_1..x_T]`` per instance → ``(n, T*(d+l))``.
+
+    Matches the reference's ``np.hstack((*states, *observations))``
+    (marginalizable_mixture_model.py:489-494)."""
+    T, n, d = z.shape
+    l = x.shape[-1]
+    return jnp.concatenate(
+        [
+            jnp.transpose(z, (1, 0, 2)).reshape(n, T * d),
+            jnp.transpose(x, (1, 0, 2)).reshape(n, T * l),
+        ],
+        axis=1,
+    )
+
+
+def pack_observed(x: jax.Array) -> jax.Array:
+    """Stack observations only → ``(n, T*l)`` (observed-only inference)."""
+    T, n, l = x.shape
+    return jnp.transpose(x, (1, 0, 2)).reshape(n, T * l)
+
+
+def cluster_joint_moments(
+    params: MixtureParams, T: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster joint (mean, cov): ``(C, D)``, ``(C, D, D)``."""
+    means = jax.vmap(lambda m, A, H: mops.joint_mean(T, m, A, H))(
+        params.m, params.A, params.H
+    )
+    covs = jax.vmap(lambda S, A, G, H, L: mops.joint_cov(T, S, A, G, H, L))(
+        params.S, params.A, params.G, params.H, params.L
+    )
+    return means, covs
+
+
+def cluster_observed_moments(
+    params: MixtureParams, T: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster observed-only (mean, cov) — hidden states marginalized."""
+    means = jax.vmap(lambda m, A, H: mops.observed_mean(T, m, A, H))(
+        params.m, params.A, params.H
+    )
+    covs = jax.vmap(
+        lambda S, A, G, H, L: mops.observed_cov(T, S, A, G, H, L)
+    )(params.S, params.A, params.G, params.H, params.L)
+    return means, covs
+
+
+@functools.partial(jax.jit, static_argnames=("T", "method"))
+def estep_logliks(
+    params: MixtureParams,
+    v: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    T: int,
+    method: str = "solve",
+) -> jax.Array:
+    """``(C, n)`` per-cluster conditional log-likelihoods of every instance.
+
+    Reference: ``conditional_log_likelihoods_first_T0_steps``
+    (marginalizable_mixture_model.py:439-494) — rebuild mm/CC per cluster,
+    one masked-Gaussian kernel call over all instances."""
+    means, covs = cluster_joint_moments(params, T)
+    return jax.vmap(
+        lambda mu, cov: gops.masked_mvn_logpdf_grouped(
+            v, mu, cov, patterns, pattern_id, method=method
+        )
+    )(means, covs)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "method"))
+def observed_logliks(
+    params: MixtureParams,
+    vx: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    T: int,
+    method: str = "solve",
+) -> jax.Array:
+    """``(C, n)`` observed-only conditional log-likelihoods (reference
+    ``observed_condl_log_lik_first_T0_steps``, mixture:997-1048)."""
+    means, covs = cluster_observed_moments(params, T)
+    return jax.vmap(
+        lambda mu, cov: gops.masked_mvn_logpdf_grouped(
+            vx, mu, cov, patterns, pattern_id, method=method
+        )
+    )(means, covs)
+
+
+def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
+    """Hard MLE assignment ``argmax_c (log π_c + ll_c)`` → ``(n,)``."""
+    return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "reg_mode", "alpha"))
+def mstep(
+    z: jax.Array,
+    x: jax.Array,
+    assign: jax.Array,
+    *,
+    n_clusters: int,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+) -> MixtureParams:
+    """Closed-form M step for all clusters at once.
+
+    Reference: ``M_step`` (marginalizable_mixture_model.py:1254-1308) —
+    ``reg_mode="lstsq"`` replicates the bare SVD lstsq path,
+    ``reg_mode="ridge"`` the sklearn-Ridge path used when ``alpha > 2·eps``.
+    """
+    T, n, d = z.shape
+    l = x.shape[-1]
+    dtype = z.dtype
+    W = jax.nn.one_hot(assign, n_clusters, dtype=dtype)  # (n, C)
+
+    pi = jnp.mean(W, axis=0)
+    m0, S0 = rops.masked_mean_and_cov(z[0], W)
+
+    # transitions: all (z_t, z_{t+1}) pairs, any-NaN rows dropped per pair
+    Wt = jnp.tile(W, (T - 1, 1))  # ((T-1)*n, C)
+    Xp = z[:-1].reshape((T - 1) * n, d)
+    Yn = z[1:].reshape((T - 1) * n, d)
+    tstats = rops.weighted_regression_stats(Xp, Yn, Wt)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+
+    # measurements: all (z_t, x_t) pairs over every time step
+    Wm = jnp.tile(W, (T, 1))
+    Za = z.reshape(T * n, d)
+    Xa = x.reshape(T * n, l)
+    mstats = rops.weighted_regression_stats(Za, Xa, Wm)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+
+    return MixtureParams(pi, m0, S0, A, G, H, L)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "method"))
+def complete_data_loglik(
+    params: MixtureParams,
+    v: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    T: int,
+    method: str = "solve",
+) -> jax.Array:
+    """Hard-assignment expected complete-data log-likelihood Q with a fresh
+    E assignment (reference ``e_complete_data_log_lik``, mixture:579-624)."""
+    ll = estep_logliks(params, v, patterns, pattern_id, T=T, method=method)
+    a = assignments_from_logliks(params.pi, ll)
+    n = v.shape[0]
+    picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
+    return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "method"))
+def model_loglik(
+    params: MixtureParams,
+    v: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    T: int,
+    method: str = "solve",
+) -> jax.Array:
+    """Mixture marginal log-likelihood ``Σ_i log Σ_c π_c L_ci`` via logsumexp
+    (reference ``model_log_likelihood``, mixture:626-666, which exponentiates
+    directly; logsumexp is the numerically-stabilized equivalent)."""
+    ll = estep_logliks(params, v, patterns, pattern_id, T=T, method=method)
+    return jnp.sum(
+        jax.scipy.special.logsumexp(jnp.log(params.pi)[:, None] + ll, axis=0)
+    )
+
+
+def _tree_select(pred, on_true, on_false):
+    return jax.tree.map(
+        lambda a, b: jnp.where(pred, a, b), on_true, on_false
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "reg_mode", "alpha", "method", "min_members"),
+)
+def train_em(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,
+    x: jax.Array,
+    v: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    n_steps: int = 1000,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    method: str = "solve",
+    min_members: int = 3,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """One full EM run; replicates ``train``
+    (marginalizable_mixture_model.py:1310-1366) exactly:
+
+    1. if ``min bincount(assign0) <= min_members`` → return untouched
+       (status INIT_ABORT);
+    2. M step from the initial assignment;
+    3. loop ≤ n_steps: E; 0 switches → CONVERGED; near-empty → EMPTY
+       (assignment updated, parameters stale — as in the reference break);
+       else M.
+
+    Returns ``(params, assign, n_iterations, status)``.  Pure and functional:
+    vmap over a leading restart axis, shard the instance axis over a mesh.
+    """
+    T = z.shape[0]
+    C = params0.pi.shape[0]
+
+    counts0 = jnp.bincount(assign0, length=C)
+    init_abort = jnp.min(counts0) <= min_members
+
+    params_m = mstep(
+        z, x, assign0, n_clusters=C, reg_mode=reg_mode, alpha=alpha
+    )
+    params_start = _tree_select(init_abort, params0, params_m)
+    status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+    def cond(state):
+        _, _, i, status = state
+        return (status == STATUS_RUNNING) & (i < n_steps)
+
+    def body(state):
+        params, assign, i, status = state
+        ll = estep_logliks(
+            params, v, patterns, pattern_id, T=T, method=method
+        )
+        new_assign = assignments_from_logliks(params.pi, ll)
+        switches = jnp.sum(new_assign != assign)
+        counts = jnp.bincount(new_assign, length=C)
+        converged = switches == 0
+        empty = (~converged) & (jnp.min(counts) <= min_members)
+        run_m = (~converged) & (~empty)
+        new_params = mstep(
+            z, x, new_assign, n_clusters=C, reg_mode=reg_mode, alpha=alpha
+        )
+        params_out = _tree_select(run_m, new_params, params)
+        status_out = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
+        )
+        return (params_out, new_assign, i + 1, status_out)
+
+    params_f, assign_f, iters, status = jax.lax.while_loop(
+        cond, body, (params_start, assign0, jnp.int32(0), status0)
+    )
+    return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "reg_mode", "alpha", "method", "min_members"),
+)
+def train_em_multistart(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,
+    x: jax.Array,
+    v: jax.Array,
+    patterns: jax.Array,
+    pattern_id: jax.Array,
+    *,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    method: str = "solve",
+    min_members: int = 3,
+):
+    """Vmapped multi-start training: ``params0`` / ``assign0`` carry a leading
+    restart axis ``R``; every start trains in parallel on-device; returns the
+    stacked results plus each start's complete-data objective ``(R,)``.
+
+    Replaces the reference's sequential 1000-restart Python loop
+    (mixture:1368-1471); winner selection stays on the host to replicate the
+    first-strictly-greater rule.
+    """
+    T = z.shape[0]
+
+    def one(p0, a0):
+        params, assign, iters, status = train_em(
+            p0,
+            a0,
+            z,
+            x,
+            v,
+            patterns,
+            pattern_id,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            method=method,
+            min_members=min_members,
+        )
+        obj = complete_data_loglik(
+            params, v, patterns, pattern_id, T=T, method=method
+        )
+        return params, assign, iters, status, obj
+
+    return jax.vmap(one)(params0, assign0)

@@ -1,0 +1,32 @@
+"""Pure-JAX compute kernels (moments, masked Gaussians, regression, samplers,
+kNN) — everything jittable, vmappable and shardable."""
+
+from multimodal_trajectory_modeling_tpu.ops.moments import (  # noqa: F401
+    joint_cov,
+    joint_mean,
+    joint_moments,
+    latent_cov,
+    latent_cov_blocks,
+    latent_means,
+    observed_cov,
+    observed_mean,
+    observed_moments,
+)
+from multimodal_trajectory_modeling_tpu.ops.gaussian import (  # noqa: F401
+    masked_identity_pad,
+    masked_mvn_logpdf,
+    masked_mvn_logpdf_grouped,
+    mvn_logpdf,
+    pattern_groups,
+)
+from multimodal_trajectory_modeling_tpu.ops.regression import (  # noqa: F401
+    RegressionStats,
+    masked_mean_and_cov,
+    regress,
+    solve_regression,
+    weighted_regression_stats,
+)
+from multimodal_trajectory_modeling_tpu.ops.samplers import (  # noqa: F401
+    sample_nonlinear_trajectories,
+    sample_trajectories,
+)

@@ -1,0 +1,170 @@
+"""Masked, weighted, batched linear-Gaussian regression for the M-step.
+
+The reference M-step loops over clusters, stacks the (prev, next) state pairs
+/ (state, observation) pairs of each cluster's members, drops any-NaN rows,
+and runs either a bare SVD ``lstsq`` (marginalizable_mixture_model.py:1167-
+1200), an eps-ridged normal-equation solve (util/util_state_space.py:33-61)
+or sklearn Ridge (same:64-94; mixture:1202-1233).  The residual covariance is
+always ``np.cov(Y - X @ A, rowvar=False)`` — i.e. *mean-centered* with ddof=1.
+
+TPU-native design: all clusters at once.  A one-hot membership matrix ``W``
+``(N, C)`` and a finite-row mask fold into weighted sufficient statistics
+``X^T X, X^T Y, Y^T Y, ΣX, ΣY, count`` via einsums (MXU work), then a tiny
+per-cluster solve.  Three solve modes replicate the reference's three
+regression flavours:
+
+- ``mode="lstsq"``  — min-norm least squares via eigh-based PSD pseudo-inverse
+  of X^T X (identical to ``np.linalg.lstsq(X, Y)`` through the identity
+  ``X^+ = (X^T X)^+ X^T``, including rank-deficient X).
+- ``mode="eps"``    — solve ``(X^T X + eps I) A = X^T Y`` (util.regress).
+- ``mode="ridge"``  — same with user alpha (Ridge(fit_intercept=False)).
+
+Under a data-sharded mesh the sufficient statistics are the only cross-device
+communication: a single ``psum`` per statistic (inserted automatically by XLA
+when the batch axis is sharded, or explicitly in parallel/sharded_em.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "RegressionStats",
+    "weighted_regression_stats",
+    "solve_regression",
+    "regress",
+    "masked_mean_and_cov",
+]
+
+
+class RegressionStats(NamedTuple):
+    """Weighted sufficient statistics, one leading cluster axis ``C``."""
+
+    xtx: jax.Array  # (C, p, p)
+    xty: jax.Array  # (C, p, q)
+    yty: jax.Array  # (C, q, q)
+    sx: jax.Array  # (C, p)
+    sy: jax.Array  # (C, q)
+    count: jax.Array  # (C,)
+
+
+def weighted_regression_stats(
+    X: jax.Array, Y: jax.Array, W: jax.Array
+) -> RegressionStats:
+    """Accumulate masked weighted sufficient statistics.
+
+    Parameters
+    ----------
+    X : (N, p) inputs, may contain NaN.
+    Y : (N, q) outputs, may contain NaN.
+    W : (N, C) nonnegative weights (one-hot membership in hard EM).
+
+    A row participates only if *every* coordinate of ``[X_row, Y_row]`` is
+    finite — the reference's any-NaN row drop
+    (marginalizable_mixture_model.py:1272-1296, util_state_space.py:55-56).
+    """
+    valid = jnp.isfinite(X).all(axis=-1) & jnp.isfinite(Y).all(axis=-1)
+    Xc = jnp.where(jnp.isfinite(X), X, 0.0)
+    Yc = jnp.where(jnp.isfinite(Y), Y, 0.0)
+    Wv = W * valid[:, None].astype(W.dtype)  # (N, C)
+    xtx = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Xc)
+    xty = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Yc)
+    yty = jnp.einsum("nc,ni,nj->cij", Wv, Yc, Yc)
+    sx = jnp.einsum("nc,ni->ci", Wv, Xc)
+    sy = jnp.einsum("nc,ni->ci", Wv, Yc)
+    count = jnp.sum(Wv, axis=0)
+    return RegressionStats(xtx, xty, yty, sx, sy, count)
+
+
+def _psd_pinv_solve(M: jax.Array, B: jax.Array, rcond: float) -> jax.Array:
+    """Solve ``M A = B`` for PSD ``M`` via eigh-based pseudo-inverse.
+
+    For full-rank M this equals ``solve``; for singular M it returns the
+    min-norm solution, matching ``np.linalg.lstsq``'s behaviour through
+    ``X^+ = (X^T X)^+ X^T``.
+    """
+    w, U = jnp.linalg.eigh(M)
+    cutoff = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    winv = jnp.where(w > cutoff, 1.0 / w, 0.0)
+    return U @ (winv[..., None] * (U.swapaxes(-1, -2) @ B))
+
+
+def solve_regression(
+    stats: RegressionStats,
+    *,
+    mode: str = "lstsq",
+    alpha: float = 0.0,
+    eps: float = 1e-6,
+    rcond: float = 1e-14,
+) -> tuple[jax.Array, jax.Array]:
+    """Turn sufficient statistics into ``(A, S)`` per cluster.
+
+    ``A`` is ``(C, p, q)``; ``S`` is the ddof-1 *mean-centered* residual
+    covariance ``(C, q, q)``, replicating ``np.cov(Y - X A, rowvar=False)``.
+    """
+    xtx, xty, yty, sx, sy, count = stats
+    p = xtx.shape[-1]
+    eye = jnp.eye(p, dtype=xtx.dtype)
+    if mode == "lstsq":
+        A = _psd_pinv_solve(xtx, xty, rcond)
+    elif mode == "eps":
+        A = _psd_pinv_solve(xtx + eps * eye, xty, rcond)
+    elif mode == "ridge":
+        A = jnp.linalg.solve(xtx + alpha * eye, xty)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
+
+    At = A.swapaxes(-1, -2)
+    rtr = yty - At @ xty - xty.swapaxes(-1, -2) @ A + At @ xtx @ A
+    sr = sy - jnp.einsum("cp,cpq->cq", sx, A)  # Σ residual
+    n = count[:, None, None]
+    centered = rtr - sr[:, :, None] * sr[:, None, :] / n
+    S = centered / (n - 1.0)
+    return A, S
+
+
+def regress(
+    X: jax.Array,
+    Y: jax.Array,
+    *,
+    mode: str = "eps",
+    alpha: float = 0.0,
+    eps: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-group convenience wrapper: MLE of ``Y|X ~ N(X A, S)`` with
+    any-NaN rows dropped.  ``mode="eps"`` replicates ``util.regress``
+    (util_state_space.py:33-61), ``mode="ridge"`` replicates
+    ``util.regress_alpha`` (same:64-94), ``mode="lstsq"`` replicates the
+    mixture-internal ``regress`` (marginalizable_mixture_model.py:1167-1200).
+    """
+    X = jnp.atleast_2d(X)
+    Y = jnp.atleast_2d(Y)
+    W = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    stats = weighted_regression_stats(X, Y, W)
+    A, S = solve_regression(stats, mode=mode, alpha=alpha, eps=eps)
+    return A[0], S[0]
+
+
+def masked_mean_and_cov(
+    Z: jax.Array, W: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster mean and ddof-1 covariance of rows of ``Z`` whose every
+    coordinate is finite, weighted by ``W`` ``(N, C)``.
+
+    Replicates the reference's initial-state moment update
+    (``np.mean`` / ``np.cov(rowvar=False)`` over finite first-step states,
+    marginalizable_mixture_model.py:1267-1270).
+    """
+    valid = jnp.isfinite(Z).all(axis=-1)
+    Zc = jnp.where(jnp.isfinite(Z), Z, 0.0)
+    Wv = W * valid[:, None].astype(W.dtype)
+    count = jnp.sum(Wv, axis=0)  # (C,)
+    mean = jnp.einsum("nc,ni->ci", Wv, Zc) / count[:, None]
+    dev = Zc[:, None, :] - mean[None, :, :]  # (N, C, d)
+    cov = jnp.einsum("nc,nci,ncj->cij", Wv, dev, dev) / (
+        count[:, None, None] - 1.0
+    )
+    return mean, cov

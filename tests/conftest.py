@@ -1,0 +1,28 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh with float64 enabled so numerical
+parity against NumPy/SciPy oracles is exact; the same code paths run in
+float32/bfloat16 on real TPU hardware (see bench.py / __graft_entry__.py).
+
+Note: this environment preloads jax before conftest executes, so platform
+selection must go through ``jax.config`` (env vars are too late); XLA_FLAGS
+is still read lazily at CPU-backend initialization, so the virtual device
+count works from here.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+if os.environ.get("MTM_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
