@@ -1,0 +1,423 @@
+"""Generic mixture of state-space component models, trained by hard EM.
+
+Reference: framework_extended/state_space_model_mixture.py:29-506.  The EM
+loop stays on the host (component models carry their own device kernels);
+the cache / restart / guard protocol replicates the reference exactly:
+
+- init switch: random / k-means on initial states / k-means on flattened
+  sequences / k-means on finite time-slices (:220-253);
+- a near-empty initialisation (min membership ≤ 3) is warned about and
+  re-randomized (:255-262);
+- the EM loop breaks silently on convergence or on a nearly-empty cluster
+  (raised + swallowed, :264-277);
+- restarts are fresh instances seeded ``default_rng(i)``, best by
+  ``score()``; all-failed ⇒ ``Exception("training failed")`` (:284-298);
+- md5 cache of (data, n_clusters, component class, hyperparams) under
+  ``tmp/mmm-<hash>-<ts>.p.gz`` (:68-80, 310-404).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import gzip
+import hashlib
+import json
+import os
+import pickle
+import string
+import warnings
+
+import numpy as np
+from sklearn import base as skl_base
+from sklearn import cluster as skl_cluster
+
+from multimodal_trajectory_modeling_tpu.utils import state_space as util
+
+home_dir = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
+    """Mixture of state-space models (any component-model class)."""
+
+    def __init__(
+        self,
+        n_clusters: int,
+        data: tuple[np.ndarray, np.ndarray],
+        component_model,
+        *,
+        component_model_hyperparams: dict = dict(),
+        rng: np.random.Generator = None,
+    ):
+        super().__init__()
+        self.rng = rng if rng is not None else np.random.default_rng(seed=42)
+
+        self.states, self.observations = map(np.atleast_3d, data)
+        self.n_timesteps, self.n_data, self.d_states = self.states.shape
+        self.d_observations = self.observations.shape[-1]
+
+        self.n_clusters = n_clusters
+        self.cluster_propensities = np.ones(n_clusters) / n_clusters
+        self.cluster_assignment = self.rng.integers(
+            n_clusters, size=self.n_data
+        )
+
+        self.component_model = component_model
+        self.component_model_hyperparams = component_model_hyperparams
+        self.cluster_models = [
+            component_model(**component_model_hyperparams)
+            for _ in range(n_clusters)
+        ]
+
+        self._correspondence = dict(
+            zip(range(n_clusters), string.ascii_uppercase)
+        )
+        self.inverse_correspondence = {
+            v: k for k, v in self._correspondence.items()
+        }
+
+        self.hex_hash = hashlib.md5(
+            self.states.tobytes()
+            + self.observations.tobytes()
+            + str(self.n_clusters).encode("utf-8")
+            + str(self.component_model).encode("utf-8")
+            + (
+                json.dumps(
+                    self.component_model_hyperparams, sort_keys=True
+                ).encode("utf-8")
+                if self.component_model_hyperparams != {}
+                else b""
+            )
+        ).hexdigest()
+
+        self.time_stamp = (
+            datetime.datetime.now(datetime.timezone.utc)
+            .replace(microsecond=0)
+            .astimezone()
+            .isoformat()
+        )
+        self.last_trained = None
+
+    def __str__(self):
+        return "Mixture of state space models with {} components".format(
+            self.component_model
+        )
+
+    @property
+    def data(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.states, self.observations
+
+    @property
+    def correspondence(self) -> dict[int, str]:
+        return self._correspondence
+
+    @correspondence.setter
+    def correspondence(self, corr: dict[int, str]) -> None:
+        self._correspondence = corr
+        self.inverse_correspondence = {
+            v: k for k, v in self._correspondence.items()
+        }
+
+    # ------------------------------------------------------------------
+    # EM internals
+    # ------------------------------------------------------------------
+
+    def _component_logits(self, data) -> np.ndarray:
+        """(n, C) matrix of log π_c + per-instance component scores."""
+        return np.column_stack(
+            [
+                np.log(self.cluster_propensities[c])
+                + np.asarray(self.cluster_models[c].score(data), dtype=float)
+                for c in range(self.n_clusters)
+            ]
+        )
+
+    def _E_step(self) -> int:
+        """Hard-assign every instance to its most likely component
+        (reference ssmm:110-132); asserts all clusters stay populated."""
+        new_assignment = np.argmax(self._component_logits(self.data), axis=1)
+        assert new_assignment.size == self.n_data
+        assert set(new_assignment) == set(range(self.n_clusters))
+        n_switches = int(
+            np.sum(np.not_equal(self.cluster_assignment, new_assignment))
+        )
+        self.cluster_assignment = new_assignment
+        return n_switches
+
+    def _M_step(self) -> None:
+        """Refit each component on its members (reference ssmm:134-149)."""
+        for c in range(self.n_clusters):
+            members = self.cluster_assignment == c
+            self.cluster_propensities[c] = np.mean(members)
+            self.cluster_models[c].fit(
+                (self.states[:, members], self.observations[:, members])
+            )
+        assert np.isclose(sum(self.cluster_propensities), 1.0)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        *,
+        init: str = "random",
+        n_iter: int = 1000,
+        n_restarts: int = 0,
+        use_cache: bool = True,
+        verbose: bool = False,
+    ):
+        if bool(use_cache):
+            try:
+                pfile = sorted(
+                    glob.glob(
+                        os.path.join(home_dir, "tmp", f"mmm-{self.hex_hash}*")
+                    ),
+                    key=os.path.getmtime,
+                ).pop()
+                best_mdl = StateSpaceMixtureModel.from_pickle(
+                    pfile,
+                    training_data={
+                        "states": self.states,
+                        "observations": self.observations,
+                    },
+                )
+                assert self.hex_hash == best_mdl.hex_hash
+                if verbose:
+                    print(f"Loaded model {best_mdl.last_trained=} from cache.")
+                return best_mdl
+            except IndexError:
+                if verbose:
+                    print("No model found in cache.")
+            except AssertionError:
+                if verbose:
+                    print(
+                        "Model found in cache does not match our requirements."
+                    )
+            except Exception as err:  # noqa: BLE001 — cache is best-effort
+                if verbose:
+                    print(f"Issue loading cached model -- encountered {err}")
+
+        if init in ("k-means", "kmeans"):
+            self.cluster_assignment = skl_cluster.KMeans(
+                n_clusters=self.n_clusters, init="k-means++", random_state=0
+            ).fit_predict(self.states[0])
+        elif init in ("kmeans-all", "k-means-all"):
+            self.cluster_assignment = skl_cluster.KMeans(
+                n_clusters=self.n_clusters, init="k-means++", random_state=0
+            ).fit_predict(
+                np.stack(
+                    [self.states[:, i, :].ravel() for i in range(self.n_data)]
+                )
+            )
+        elif init in ("kmeans-take-finite", "k-means-take-finite"):
+            self.cluster_assignment = skl_cluster.KMeans(
+                n_clusters=self.n_clusters, init="k-means++", random_state=0
+            ).fit_predict(
+                np.column_stack(util.take_finite_along_axis(self.states, 0))
+            )
+        else:
+            self.cluster_assignment = self.rng.integers(
+                low=0, high=self.n_clusters, size=self.n_data
+            )
+        assert len(self.cluster_assignment) == self.n_data
+        if np.min(np.bincount(self.cluster_assignment)) <= 3:
+            warnings.warn(
+                "Cluster initialisation method yielded a nearly empty cluster"
+            )
+            self.cluster_assignment = self.rng.integers(
+                low=0, high=self.n_clusters, size=self.n_data
+            )
+
+        try:
+            self._M_step()
+            for _ in range(n_iter):
+                n_switches = self._E_step()
+                if n_switches == 0:
+                    break
+                if np.min(np.bincount(self.cluster_assignment)) <= 3:
+                    raise Exception("Encountered nearly empty cluster.")
+                self._M_step()
+        except Exception:  # noqa: BLE001 — nearly-empty cluster aborts a start
+            pass
+
+        try:
+            score = self.score()
+        except TypeError:
+            score = -np.inf
+        best_mdl, best_score = self, score
+        for i in range(n_restarts):
+            try:
+                cand = StateSpaceMixtureModel(
+                    n_clusters=self.n_clusters,
+                    data=self.data,
+                    component_model=self.component_model,
+                    component_model_hyperparams=(
+                        self.component_model_hyperparams
+                    ),
+                    rng=np.random.default_rng(seed=i),
+                ).fit(init="random", n_iter=n_iter, use_cache=False)
+                if (new_score := cand.score()) > best_score:
+                    best_mdl, best_score = cand, new_score
+            except Exception:  # noqa: BLE001
+                pass
+        if best_score == -np.inf:
+            raise Exception("training failed")
+
+        best_mdl.last_trained = (
+            datetime.datetime.now(datetime.timezone.utc)
+            .replace(microsecond=0)
+            .astimezone()
+            .isoformat()
+        )
+        if use_cache:
+            best_mdl.to_pickle(include_training_data=False)
+        return best_mdl
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def to_pickle(
+        self,
+        save_location: str | os.PathLike = os.path.join(home_dir, "tmp"),
+        there_can_only_be_one: bool = True,
+        include_training_data: bool = False,
+    ):
+        os.makedirs(save_location, exist_ok=True)
+        ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%MZ"
+        )
+        if there_can_only_be_one:
+            for f in glob.glob(
+                os.path.join(save_location, f"mmm-{self.hex_hash}*")
+            ):
+                os.remove(f)
+        payload = {
+            "n_clusters": self.n_clusters,
+            "cluster_propensities": self.cluster_propensities,
+            "component_model": self.component_model,
+            "component_model_hyperparams": self.component_model_hyperparams,
+            "cluster_models": [cm.to_pickle() for cm in self.cluster_models],
+            "rng": self.rng,
+            "cluster_assignment": self.cluster_assignment,
+            "correspondence": self.correspondence,
+            "inverse_correspondence": self.inverse_correspondence,
+            "hex_hash": self.hex_hash,
+            "time_stamp": self.time_stamp,
+            "last_trained": self.last_trained,
+        }
+        if include_training_data:
+            payload |= {
+                "states": self.states,
+                "observations": self.observations,
+            }
+        with gzip.open(
+            os.path.join(save_location, f"mmm-{self.hex_hash}-{ts}.p.gz"),
+            "wb",
+        ) as f:
+            pickle.dump(payload, f)
+
+    @staticmethod
+    def from_pickle(file: str | os.PathLike, training_data: dict = None):
+        opener = gzip.open if os.path.splitext(file)[-1] == ".gz" else open
+        with opener(file, "rb") as f:
+            d = pickle.load(f)
+        src = training_data if training_data is not None else d
+        mdl = StateSpaceMixtureModel(
+            n_clusters=d["n_clusters"],
+            data=(src["states"], src["observations"]),
+            component_model=d["component_model"],
+            component_model_hyperparams=d.get(
+                "component_model_hyperparams", dict()
+            ),
+            rng=d["rng"],
+        )
+        mdl.cluster_propensities = d["cluster_propensities"]
+        mdl.cluster_models = [
+            mdl.component_model().from_pickle(p) for p in d["cluster_models"]
+        ]
+        mdl.rng = d["rng"]
+        mdl.cluster_assignment = d["cluster_assignment"]
+        mdl.correspondence = d["correspondence"]
+        mdl.inverse_correspondence = d["inverse_correspondence"]
+        mdl.last_trained = d["last_trained"]
+        return mdl
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def predict_proba(
+        self,
+        data: tuple[np.ndarray, np.ndarray] = None,
+        return_prenormalized_log_probs: bool = False,
+    ):
+        """Posterior membership probabilities (softmax of log π_c + score_c;
+        reference ssmm:406-433)."""
+        if data is None:
+            data = self.data
+        logits = self._component_logits(data)  # (n, C)
+        shifted = logits - logits.max(axis=1, keepdims=True)
+        preds = np.exp(shifted)
+        preds /= preds.sum(axis=1, keepdims=True)
+        if return_prenormalized_log_probs:
+            return preds, logits.T
+        return preds
+
+    def predict(
+        self,
+        *,
+        data: tuple[np.ndarray, np.ndarray] = None,
+        letters: bool = True,
+    ) -> np.ndarray:
+        preds = np.argmax(self.predict_proba(data=data), axis=1)
+        if letters:
+            return np.array([self.correspondence[i] for i in preds])
+        return preds
+
+    def score(self, data: tuple[np.ndarray, np.ndarray] = None) -> float:
+        """Hard-assignment complete-data log-likelihood; −inf when any
+        cluster is unused on the scored data (reference ssmm:447-474)."""
+        if data is None:
+            data = self.data
+        assignment = self.predict(data=data, letters=False)
+        try:
+            assert set(assignment) == set(range(self.n_clusters))
+            assert assignment.size == data[0].shape[1]
+        except AssertionError:
+            return -np.inf
+        scores = np.column_stack(
+            [
+                np.asarray(self.cluster_models[c].score(data), dtype=float)
+                for c in range(self.n_clusters)
+            ]
+        )
+        return float(
+            np.sum(np.log(self.cluster_propensities[assignment]))
+            + np.sum(scores[np.arange(assignment.size), assignment])
+        )
+
+    def model_log_likelihood(
+        self, data: tuple[np.ndarray, np.ndarray] = None
+    ) -> float:
+        """Marginal mixture log-likelihood via logsumexp (reference
+        ssmm:476-497)."""
+        if data is None:
+            data = self.data
+        logits = self._component_logits(data)
+        mx = logits.max(axis=1)
+        return float(
+            np.sum(mx + np.log(np.sum(np.exp(logits - mx[:, None]), axis=1)))
+        )
+
+    def cluster_assignment_index(
+        self, *, cluster: str = "A", data=None
+    ) -> np.ndarray:
+        """Prenormalized log-odds of membership in ``cluster``
+        (reference ssmm:499-506)."""
+        return self.predict_proba(
+            data=data, return_prenormalized_log_probs=True
+        )[-1][self.inverse_correspondence[cluster]]

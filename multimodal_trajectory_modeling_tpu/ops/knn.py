@@ -1,0 +1,137 @@
+"""Batched k-nearest-neighbor regression on TPU.
+
+Replaces sklearn's ``KNeighborsRegressor`` + ``GridSearchCV`` in the
+extended framework (reference framework_extended/state_space_model_knn.py:
+61-97): pairwise squared distances are one MXU GEMM, neighbor selection is
+``jax.lax.top_k``, and the k-fold grid search evaluates every (fold, k) pair
+with the same deterministic contiguous folds as sklearn's non-shuffled
+``KFold``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["KNNRegressor", "knn_predict", "grid_search_knn"]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
+def knn_predict(
+    train_x: jax.Array,
+    train_y: jax.Array,
+    query: jax.Array,
+    *,
+    k: int,
+    query_chunk: int = 4096,
+) -> jax.Array:
+    """Mean of the ``k`` nearest training targets for each query row.
+
+    Euclidean metric; distances via the ``||q||² − 2 q·x + ||x||²``
+    expansion so the inner product rides the MXU.  Queries are processed in
+    chunks to bound the (chunk × m) distance matrix in memory.
+    """
+    m = train_x.shape[0]
+    k = min(k, m)
+    x_sq = jnp.sum(train_x * train_x, axis=1)  # (m,)
+
+    def chunk_pred(q):
+        d2 = (
+            jnp.sum(q * q, axis=1, keepdims=True)
+            - 2.0 * q @ train_x.T
+            + x_sq[None, :]
+        )  # (B, m)
+        _, idx = jax.lax.top_k(-d2, k)  # (B, k)
+        return jnp.mean(train_y[idx], axis=1)  # (B, q_dim)
+
+    n = query.shape[0]
+    if n <= query_chunk:
+        return chunk_pred(query)
+    pad = (-n) % query_chunk
+    qp = jnp.concatenate([query, jnp.zeros((pad, query.shape[1]), query.dtype)])
+    blocks = qp.reshape(-1, query_chunk, query.shape[1])
+    out = jax.lax.map(chunk_pred, blocks)
+    return out.reshape(-1, train_y.shape[1])[:n]
+
+
+class KNNRegressor:
+    """sklearn-compatible surface (``fit`` / ``predict``) over
+    :func:`knn_predict`; picklable via plain arrays."""
+
+    def __init__(self, n_neighbors: int = 5):
+        self.n_neighbors = int(n_neighbors)
+        self._x = None
+        self._y = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        y = np.asarray(y, dtype=float)
+        if y.ndim == 1:
+            y = y[:, None]
+        self._x, self._y = X, y
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        out = np.asarray(
+            knn_predict(
+                jnp.asarray(self._x),
+                jnp.asarray(self._y),
+                jnp.asarray(X),
+                k=self.n_neighbors,
+            )
+        )
+        return out
+
+    def __getstate__(self):
+        return {
+            "n_neighbors": self.n_neighbors,
+            "_x": self._x,
+            "_y": self._y,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+def _kfold_bounds(n: int, n_folds: int) -> list[tuple[int, int]]:
+    """sklearn ``KFold(shuffle=False)`` contiguous fold boundaries."""
+    sizes = np.full(n_folds, n // n_folds, dtype=int)
+    sizes[: n % n_folds] += 1
+    stops = np.cumsum(sizes)
+    starts = stops - sizes
+    return list(zip(starts.tolist(), stops.tolist()))
+
+
+def grid_search_knn(
+    X: np.ndarray,
+    Y: np.ndarray,
+    k_grid: list[int],
+    n_folds: int = 3,
+) -> int:
+    """Pick ``k`` by k-fold CV on negative MSE (first-best on ties),
+    replicating ``GridSearchCV(KNeighborsRegressor, cv=n_folds,
+    scoring="neg_mean_squared_error")`` with deterministic contiguous folds.
+    All (fold × k) fits/predictions run on device.
+    """
+    X = np.atleast_2d(np.asarray(X, dtype=float))
+    Y = np.asarray(Y, dtype=float)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n = X.shape[0]
+    folds = _kfold_bounds(n, n_folds)
+    scores = np.zeros((len(k_grid), n_folds))
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    for f, (lo, hi) in enumerate(folds):
+        mask = np.zeros(n, dtype=bool)
+        mask[lo:hi] = True
+        tr_x, tr_y = Xj[~mask], Yj[~mask]
+        va_x, va_y = Xj[mask], Yj[mask]
+        for ki, k in enumerate(k_grid):
+            pred = knn_predict(tr_x, tr_y, va_x, k=k)
+            scores[ki, f] = -float(jnp.mean((pred - va_y) ** 2))
+    mean_scores = scores.mean(axis=1)
+    return int(k_grid[int(np.argmax(mean_scores))])

@@ -1,0 +1,277 @@
+"""End-to-end tests of the public ``MMLinGaussSS_marginalizable`` class —
+the reference's own self-test scenario (marginalizable_mixture_model.py:
+1920-2103) scaled down: 2-cluster recovery, predictions, pickling, cache
+Highlander, alpha-regularized and 1-D variants."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_trajectory_modeling_tpu import ops
+from multimodal_trajectory_modeling_tpu.models import (
+    MMLinGaussSS_marginalizable,
+)
+from multimodal_trajectory_modeling_tpu.models import mixture as mixture_mod
+
+
+@pytest.fixture(scope="module")
+def synth():
+    rng = np.random.default_rng(42)
+    C, T, n, d, l = 2, 20, 600, 2, 3
+    pis = np.array([0.4, 0.6])
+    A = np.stack([rng.normal(scale=0.5, size=(d, d)) for _ in range(C)])
+    G = np.stack([np.eye(d) / (c + 2.0) for c in range(C)])
+    H = np.stack([rng.normal(size=(d, l)) for _ in range(C)])
+    L = np.stack([(c + 1.0) * np.eye(l) for c in range(C)])
+    labels = rng.choice(C, size=n, p=pis)
+    z = np.zeros((T, n, d))
+    x = np.zeros((T, n, l))
+    for c in range(C):
+        idx = labels == c
+        zc, xc = ops.sample_trajectories(
+            jax.random.PRNGKey(c),
+            int(idx.sum()),
+            T,
+            jnp.zeros(d),
+            jnp.asarray(G[c]),
+            jnp.asarray(A[c]),
+            jnp.asarray(G[c]),
+            jnp.asarray(H[c]),
+            jnp.asarray(L[c]),
+        )
+        z[:, idx], x[:, idx] = np.asarray(zc), np.asarray(xc)
+    return dict(z=z, x=x, labels=labels, pis=pis, A=A, G=G, H=H, L=L)
+
+
+@pytest.fixture(scope="module")
+def trained(synth):
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=synth["z"], observations=synth["x"], init="kmeans"
+    ).train_with_multiple_random_starts(n_starts=5, use_cache=False)
+    return mdl
+
+
+def test_recovers_parameters(synth, trained):
+    mdl = trained
+    np.testing.assert_allclose(
+        np.sort(synth["pis"]), np.sort(mdl.cluster_propensities), rtol=1e-1
+    )
+    corr = dict(
+        zip(
+            np.argsort(synth["pis"]),
+            np.argsort(mdl.cluster_propensities),
+        )
+    )
+    for c_true, c_inf in corr.items():
+        np.testing.assert_allclose(
+            synth["A"][c_true],
+            mdl.transition_matrices[c_inf],
+            rtol=1e-1,
+            atol=1e-1,
+        )
+        np.testing.assert_allclose(
+            synth["G"][c_true], mdl.transition_covs[c_inf], rtol=1e-1, atol=2e-1
+        )
+        np.testing.assert_allclose(
+            synth["H"][c_true],
+            mdl.measurement_matrices[c_inf],
+            rtol=1e-1,
+            atol=1e-1,
+        )
+        np.testing.assert_allclose(
+            synth["L"][c_true],
+            mdl.measurement_covs[c_inf],
+            rtol=1e-1,
+            atol=2e-1,
+        )
+
+
+def test_one_step_ahead_predictions(synth, trained):
+    z, x = synth["z"], synth["x"]
+    z_pred, x_pred = trained.one_step_ahead_predictions(
+        states=z[:-1], observations=x[:-1]
+    )
+    assert np.allclose((z_pred - z[-1]).squeeze().mean(axis=0), 0.0, atol=0.05)
+    assert np.allclose((x_pred - x[-1]).squeeze().mean(axis=0), 0.0, atol=0.1)
+
+    z_p0, x_p0 = trained.one_step_ahead_predictions_no_history(
+        states=z[:-1], observations=x[:-1]
+    )
+    assert np.allclose((z_p0 - z[-1]).squeeze().mean(axis=0), 0.0, atol=0.05)
+    assert np.allclose((x_p0 - x[-1]).squeeze().mean(axis=0), 0.0, atol=0.1)
+
+
+def test_conditional_logliks_match_scipy(synth, trained):
+    """Cross-check the device E-step against a direct scipy evaluation of
+    the same joint Gaussian."""
+    import scipy.stats as sp_stats
+
+    mdl = trained
+    z, x = synth["z"][:, :50], synth["x"][:, :50]
+    T = z.shape[0]
+    c = 0
+    mean = np.asarray(
+        ops.joint_mean(
+            T,
+            jnp.asarray(mdl.init_state_means[c]),
+            jnp.asarray(mdl.transition_matrices[c]),
+            jnp.asarray(mdl.measurement_matrices[c]),
+        )
+    )
+    cov = np.asarray(
+        ops.joint_cov(
+            T,
+            jnp.asarray(mdl.init_state_covs[c]),
+            jnp.asarray(mdl.transition_matrices[c]),
+            jnp.asarray(mdl.transition_covs[c]),
+            jnp.asarray(mdl.measurement_matrices[c]),
+            jnp.asarray(mdl.measurement_covs[c]),
+        )
+    )
+    n = z.shape[1]
+    v = np.concatenate(
+        [z.transpose(1, 0, 2).reshape(n, -1), x.transpose(1, 0, 2).reshape(n, -1)],
+        axis=1,
+    )
+    want = sp_stats.multivariate_normal(
+        mean=mean, cov=cov, allow_singular=True
+    ).logpdf(v)
+    got = mdl.conditional_log_likelihoods(c, states=z, observations=x)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_model_selection_functions(synth, trained):
+    aic = trained.aic()
+    bic = trained.bic(
+        states=synth["z"][:, :10], observations=synth["x"][:, :10]
+    )
+    assert np.isfinite(aic) and np.isfinite(bic)
+    k = trained.n_free_params
+    C, d, l = 2, 2, 3
+    expect = (
+        C  # propensities
+        + C * d
+        + C * d * d
+        + C * d * l
+        + C * (d * (d + 1) // 2) * 2
+        + C * (l * (l + 1) // 2)
+    )
+    assert k == expect
+
+
+def test_propensities_over_time(synth, trained):
+    pc_t = trained.cluster_propensities_over_time(
+        states=synth["z"][:, :30], observations=synth["x"][:, :30]
+    )
+    assert pc_t.shape == (synth["z"].shape[0], 30, 2)
+    assert np.allclose(pc_t.sum(axis=-1), 1.0)
+    pc_obs = trained.observed_cluster_propensities_over_time(
+        observations=synth["x"][:5, :30]
+    )
+    assert pc_obs.shape == (5, 30, 2)
+
+
+def test_masked_input_tricks(synth, trained):
+    """No-hidden (all-NaN states) and snapshot-masked variants must run and
+    produce valid assignments — the inference paths used by the drivers."""
+    z, x = synth["z"][:, :40], synth["x"][:, :40]
+    a_full = trained.mle_cluster_assignment(states=z, observations=x)
+    a_nohid = trained.mle_cluster_assignment(
+        states=np.nan * z, observations=x
+    )
+    assert a_full.shape == a_nohid.shape == (40,)
+    agree = np.mean(a_full == a_nohid)
+    assert agree > 0.6  # informative but imperfect without hidden states
+
+
+def test_pickle_roundtrip_and_highlander(synth, trained, tmp_path):
+    mdl = trained
+    mdl.to_pickle(save_location=str(tmp_path))
+    files = glob.glob(str(tmp_path / f"mmm-{mdl.hex_hash}*"))
+    assert len(files) == 1
+    # again — eviction keeps exactly one
+    mdl.to_pickle(save_location=str(tmp_path))
+    files = glob.glob(str(tmp_path / f"mmm-{mdl.hex_hash}*"))
+    assert len(files) == 1
+
+    back = MMLinGaussSS_marginalizable.from_pickle(
+        files[0],
+        training_data={"states": synth["z"], "observations": synth["x"]},
+    )
+    assert back.hex_hash == mdl.hex_hash
+    np.testing.assert_array_equal(
+        back.cluster_assignment, mdl.cluster_assignment
+    )
+    for c in range(2):
+        np.testing.assert_allclose(
+            back.transition_matrices[c], mdl.transition_matrices[c]
+        )
+    np.testing.assert_allclose(
+        back.model_log_likelihood(), mdl.model_log_likelihood(), rtol=1e-10
+    )
+
+
+def test_cache_probe_roundtrip(synth, trained, tmp_path, monkeypatch):
+    """train_with_multiple_random_starts must reload a cached model."""
+    monkeypatch.setattr(mixture_mod, "home_dir", str(tmp_path))
+    mdl = trained
+    mdl.to_pickle(save_location=str(tmp_path / "tmp"))
+    again = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=synth["z"],
+        observations=synth["x"],
+        init="kmeans",
+    ).train_with_multiple_random_starts(n_starts=3, use_cache=True)
+    np.testing.assert_array_equal(
+        again.cluster_assignment, mdl.cluster_assignment
+    )
+
+
+def test_alpha_and_1d_variants(synth):
+    z, x = synth["z"], synth["x"]
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, init="kmeans", alpha=0.1
+    ).train_with_multiple_random_starts(n_starts=2, use_cache=False)
+    assert np.isfinite(mdl.e_complete_data_log_lik())
+
+    mdl1 = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=z[..., :1],
+        observations=x[..., :1],
+        init="kmeans",
+        alpha=0.1,
+    ).train_with_multiple_random_starts(n_starts=2, use_cache=False)
+    assert np.isfinite(mdl1.e_complete_data_log_lik())
+
+
+def test_regress_static_method(synth):
+    z, x = synth["z"], synth["x"]
+    labels = synth["labels"]
+    H_est, L_est = MMLinGaussSS_marginalizable.regress(
+        z[0, labels == 0], x[0, labels == 0]
+    )
+    np.testing.assert_allclose(H_est, synth["H"][0], atol=0.35)
+    np.testing.assert_allclose(L_est, synth["L"][0], atol=0.35)
+
+
+def test_rng_replication_of_constructor():
+    """Constructor parameter draws must replicate the reference's global-RNG
+    consumption order: identical seeds ⇒ identical parameter inits across
+    two separately-seeded interpreters' call sequences."""
+    z = np.random.default_rng(0).normal(size=(3, 20, 2))
+    x = np.random.default_rng(1).normal(size=(3, 20, 2))
+
+    np.random.seed(123)
+    a = MMLinGaussSS_marginalizable(2, z, x, random_seed=7)
+    np.random.seed(123)
+    b = MMLinGaussSS_marginalizable(2, z, x, random_seed=7)
+    for pa, pb in zip(a.init_state_means, b.init_state_means):
+        np.testing.assert_array_equal(pa, pb)
+    for pa, pb in zip(a.measurement_covs, b.measurement_covs):
+        np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_array_equal(a.cluster_assignment, b.cluster_assignment)
+    assert a.hex_hash == b.hex_hash
