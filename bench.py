@@ -1,0 +1,204 @@
+"""Headline benchmark: hard-EM iteration throughput on 1M synthetic
+trajectories (T=10, d=5, l=3, n_clusters=16) — the BASELINE.json north-star
+configuration — on whatever accelerator is attached (one TPU chip under the
+driver).
+
+Baseline: a faithful NumPy re-creation of the reference's per-instance hot
+loop (numba guvectorize ``multivariate_normal_log_likelihood`` +
+per-cluster M-step regressions, marginalizable_state_space_model.py:728-773
+and marginalizable_mixture_model.py:1235-1308) timed on a subsample and
+scaled linearly to the full batch — the reference computes every (cluster,
+instance) masked det/solve independently, so its cost is linear in n.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_trajectory_modeling_tpu import config as mtm_config
+
+mtm_config.enable_persistent_compilation_cache()
+
+N_FULL = 1_000_000
+T, D_H, D_O, C = 10, 5, 3, 16
+N_BASE = 500  # subsample for the NumPy baseline timing
+BENCH_ITERS = 10
+
+
+_LENGTHS = (T // 2, T - 2, T)
+
+
+def _make_data(n):
+    """Generate, NaN-pad and pack the batch entirely on-device — no
+    million-row host↔device round trips.  The missingness patterns are the
+    3 trajectory lengths, so ``patterns``/``pattern_id`` are constructed
+    analytically instead of via a host-side unique()."""
+    from multimodal_trajectory_modeling_tpu import ops
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(scale=0.4, size=(D_H, D_H))
+    H = rng.normal(size=(D_H, D_O))
+    m = rng.normal(size=D_H)
+
+    lens = rng.choice(_LENGTHS, size=n, p=[0.3, 0.3, 0.4])
+    pid = np.searchsorted(np.asarray(_LENGTHS), lens).astype(np.int32)
+    patterns = np.stack(
+        [
+            np.concatenate(
+                [
+                    np.repeat(np.arange(T) < Ln, D_H),
+                    np.repeat(np.arange(T) < Ln, D_O),
+                ]
+            )
+            for Ln in _LENGTHS
+        ]
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def build(key, lens_dev, n):
+        z, x = ops.sample_trajectories(
+            key,
+            n,
+            T,
+            jnp.asarray(m, jnp.float32),
+            jnp.eye(D_H, dtype=jnp.float32) / 5,
+            jnp.asarray(A, jnp.float32),
+            jnp.eye(D_H, dtype=jnp.float32) / 2,
+            jnp.asarray(H, jnp.float32),
+            jnp.eye(D_O, dtype=jnp.float32) / 3,
+        )
+        tmask = (
+            jnp.arange(T)[:, None] < lens_dev[None, :]
+        )  # (T, n) valid steps
+        z = jnp.where(tmask[:, :, None], z, jnp.nan)
+        x = jnp.where(tmask[:, :, None], x, jnp.nan)
+        v = em.pack_joint(z, x)
+        return z, x, v
+
+    z, x, v = build(jax.random.PRNGKey(0), jnp.asarray(lens), n)
+    return z, x, v, jnp.asarray(patterns), jnp.asarray(pid)
+
+
+def _params(rng, dtype=jnp.float32):
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    return em.MixtureParams(
+        pi=jnp.ones(C, dtype) / C,
+        m=jnp.asarray(rng.normal(size=(C, D_H)), dtype),
+        S=jnp.asarray(np.stack([np.eye(D_H)] * C), dtype),
+        A=jnp.asarray(rng.normal(scale=0.4, size=(C, D_H, D_H)), dtype),
+        G=jnp.asarray(np.stack([np.eye(D_H)] * C), dtype),
+        H=jnp.asarray(rng.normal(size=(C, D_H, D_O)), dtype),
+        L=jnp.asarray(np.stack([np.eye(D_O)] * C), dtype),
+    )
+
+
+def bench_tpu(z, x, v, patterns, pid):
+    """Time BENCH_ITERS fused EM iterations (E + M, no convergence exit)
+    under one jit, steady-state."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(1)
+    params0 = _params(rng)
+
+    # NOTES: (a) the batch must be passed as arguments — closing over large
+    # device arrays embeds them as HLO constants and blows up the compile
+    # payload (observed: HTTP 413 from the remote compile service at n=1e6);
+    # (b) one fused E+M step compiles in seconds while a fori_loop of 10
+    # steps takes minutes through the remote compiler — so we compile the
+    # single step and chain it from the host (dispatch ≪ step time).
+    @jax.jit
+    def em_step(params, zj, xj, vj, pj, pidj):
+        ll = em.estep_logliks(params, vj, pj, pidj, T=T, method="inverse")
+        assign = em.assignments_from_logliks(params.pi, ll)
+        return em.mstep(zj, xj, assign, n_clusters=C)
+
+    params = em_step(params0, z, x, v, patterns, pid)
+    float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
+    # (block_until_ready returns early on this remote backend — a device→
+    # host scalar copy is the only reliable completion barrier)
+    t0 = time.perf_counter()
+    for _ in range(BENCH_ITERS):
+        params = em_step(params, z, x, v, patterns, pid)
+    a00 = float(params.A[0, 0, 0])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(a00), "EM produced non-finite params"
+    return BENCH_ITERS / dt
+
+
+def bench_numpy_reference(z, x, v):
+    """Reference-semantics EM iteration on a subsample: per-(cluster,
+    instance) masked det/solve E-step + per-cluster lstsq M-step."""
+    rng = np.random.default_rng(1)
+    means = [rng.normal(size=v.shape[1]) for _ in range(C)]
+    Xc = rng.normal(size=(v.shape[1], v.shape[1]))
+    cov = Xc @ Xc.T / v.shape[1] + np.eye(v.shape[1])
+
+    n = v.shape[0]
+    t0 = time.perf_counter()
+    ll = np.zeros((C, n))
+    for c in range(C):
+        for i in range(n):
+            row = v[i]
+            idx = np.flatnonzero(np.isfinite(row))
+            sub = cov[np.ix_(idx, idx)]
+            m = row[idx] - means[c][idx]
+            ll[c, i] = -0.5 * (
+                np.log((2 * np.pi) ** idx.size * np.linalg.det(sub))
+                + m @ np.linalg.solve(sub, m)
+            )
+    assign = np.argmax(ll, axis=0)
+    for c in range(C):
+        sel = assign == c
+        if sel.sum() < 4:
+            continue
+        Zp = np.vstack(list(z[:-1, sel]))
+        Zn = np.vstack(list(z[1:, sel]))
+        keep = np.isfinite(np.column_stack([Zp, Zn])).all(axis=1)
+        if keep.sum() > D_H:
+            A_hat = np.linalg.lstsq(Zp[keep], Zn[keep], rcond=-1)[0]
+            np.cov(Zn[keep] - Zp[keep] @ A_hat, rowvar=False)
+        Za = np.vstack(list(z[:, sel]))
+        Xa = np.vstack(list(x[:, sel]))
+        keep = np.isfinite(np.column_stack([Za, Xa])).all(axis=1)
+        if keep.sum() > D_H:
+            H_hat = np.linalg.lstsq(Za[keep], Xa[keep], rcond=-1)[0]
+            np.cov(Xa[keep] - Za[keep] @ H_hat, rowvar=False)
+    dt = time.perf_counter() - t0
+    return 1.0 / dt  # iterations/sec at this subsample size
+
+
+def main():
+    z, x, v, patterns, pid = _make_data(N_FULL)
+
+    tpu_iters_per_sec = bench_tpu(z, x, v, patterns, pid)
+
+    zb = np.asarray(z[:, :N_BASE], dtype=float)
+    xb = np.asarray(x[:, :N_BASE], dtype=float)
+    vb = np.asarray(v[:N_BASE], dtype=float)
+    base_small = bench_numpy_reference(zb, xb, vb)
+    baseline_full = base_small * (N_BASE / N_FULL)  # linear in n
+
+    print(
+        json.dumps(
+            {
+                "metric": "em_iterations_per_sec_1M_traj",
+                "value": round(tpu_iters_per_sec, 4),
+                "unit": "EM iterations/sec (n=1e6, T=10, d=5, l=3, C=16)",
+                "vs_baseline": round(tpu_iters_per_sec / baseline_full, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,7 +118,7 @@ class StateSpaceKNN(StateSpaceModel):
             data = self.data
         states, measurements = map(np.atleast_3d, data)
         T = states.shape[0]
-        lp = np.asarray(
+        lp = np.array(
             ops.mvn_logpdf(
                 jnp.asarray(
                     states[0].astype(float)

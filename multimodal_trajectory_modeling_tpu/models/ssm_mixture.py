@@ -282,10 +282,12 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
 
     def to_pickle(
         self,
-        save_location: str | os.PathLike = os.path.join(home_dir, "tmp"),
+        save_location: str | os.PathLike = None,
         there_can_only_be_one: bool = True,
         include_training_data: bool = False,
     ):
+        if save_location is None:
+            save_location = os.path.join(home_dir, "tmp")
         os.makedirs(save_location, exist_ok=True)
         ts = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y%m%dT%H%MZ"

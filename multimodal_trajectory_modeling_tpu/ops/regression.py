@@ -148,23 +148,46 @@ def regress(
     return A[0], S[0]
 
 
-def masked_mean_and_cov(
-    Z: jax.Array, W: jax.Array
-) -> tuple[jax.Array, jax.Array]:
-    """Per-cluster mean and ddof-1 covariance of rows of ``Z`` whose every
-    coordinate is finite, weighted by ``W`` ``(N, C)``.
+class MomentStats(NamedTuple):
+    """Additive first/second-moment statistics per cluster (psum-able)."""
 
-    Replicates the reference's initial-state moment update
-    (``np.mean`` / ``np.cov(rowvar=False)`` over finite first-step states,
-    marginalizable_mixture_model.py:1267-1270).
-    """
+    count: jax.Array  # (C,)
+    s: jax.Array  # (C, d)   Σ w z
+    ss: jax.Array  # (C, d, d)  Σ w z z^T
+
+
+def masked_moment_stats(Z: jax.Array, W: jax.Array) -> MomentStats:
+    """Accumulate moments of rows of ``Z`` whose every coordinate is finite,
+    weighted by ``W`` ``(N, C)``.  Additive across data shards — one ``psum``
+    per field under a data-parallel mesh."""
     valid = jnp.isfinite(Z).all(axis=-1)
     Zc = jnp.where(jnp.isfinite(Z), Z, 0.0)
     Wv = W * valid[:, None].astype(W.dtype)
-    count = jnp.sum(Wv, axis=0)  # (C,)
-    mean = jnp.einsum("nc,ni->ci", Wv, Zc) / count[:, None]
-    dev = Zc[:, None, :] - mean[None, :, :]  # (N, C, d)
-    cov = jnp.einsum("nc,nci,ncj->cij", Wv, dev, dev) / (
-        count[:, None, None] - 1.0
+    count = jnp.sum(Wv, axis=0)
+    s = jnp.einsum("nc,ni->ci", Wv, Zc)
+    ss = jnp.einsum("nc,ni,nj->cij", Wv, Zc, Zc)
+    return MomentStats(count, s, ss)
+
+
+def mean_cov_from_stats(
+    stats: MomentStats,
+) -> tuple[jax.Array, jax.Array]:
+    """Finalize :class:`MomentStats` into (mean, ddof-1 covariance),
+    matching ``np.mean`` / ``np.cov(rowvar=False)`` over the kept rows
+    (reference marginalizable_mixture_model.py:1267-1270)."""
+    count, s, ss = stats
+    mean = s / count[:, None]
+    centered = ss - count[:, None, None] * (
+        mean[:, :, None] * mean[:, None, :]
     )
+    cov = centered / (count[:, None, None] - 1.0)
     return mean, cov
+
+
+def masked_mean_and_cov(
+    Z: jax.Array, W: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster mean and ddof-1 covariance of fully-finite rows of ``Z``
+    weighted by ``W`` ``(N, C)`` — convenience composition of
+    :func:`masked_moment_stats` + :func:`mean_cov_from_stats`."""
+    return mean_cov_from_stats(masked_moment_stats(Z, W))

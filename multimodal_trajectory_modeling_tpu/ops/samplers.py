@@ -9,6 +9,7 @@ batches on device with ``jax.random``; shapes follow the repo-wide
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -21,6 +22,7 @@ def _chol(M: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(jnp.atleast_2d(M))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "T"))
 def sample_trajectories(
     key: jax.Array,
     n: int,
@@ -32,7 +34,8 @@ def sample_trajectories(
     H: jax.Array,
     L: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Draw ``n`` trajectories of length ``T`` from the LG-SSM.
+    """Draw ``n`` trajectories of length ``T`` from the LG-SSM, fully jitted
+    (eager per-op dispatch is prohibitively slow on remote accelerators).
 
     Returns ``(z, x)`` with shapes ``(T, n, d)`` and ``(T, n, l)``.
     Reference: ``sample_trajectory``

@@ -1,0 +1,214 @@
+"""Data-parallel hard EM via ``shard_map`` with explicit XLA collectives.
+
+Two equivalent routes to multi-chip EM:
+
+1. **Auto-partitioned** (:func:`train_em_data_parallel`): device-put the
+   batch with trajectory-axis shardings (parallel/mesh.py) and call the
+   ordinary jitted ``em.train_em`` — XLA's SPMD partitioner turns the
+   M-step einsum reductions and the switch/bincount scalars into
+   all-reduces over ICI automatically.
+
+2. **Explicit** (:func:`train_em_shardmap`): the same loop written inside a
+   ``shard_map`` over the ``data`` axis, with every cross-device reduction
+   spelled out as a ``lax.psum`` — per-cluster membership counts, switch
+   counts, initial-state moment statistics and both regression
+   sufficient-statistic blocks.  This is the reference implementation of
+   the communication pattern (6 small psums per EM iteration, all additive)
+   and the template for multi-slice DCN layering later.
+
+Both produce identical results to the single-device engine (tested on a
+virtual 8-device CPU mesh in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multimodal_trajectory_modeling_tpu.models import em
+from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
+from multimodal_trajectory_modeling_tpu.ops import regression as rops
+from multimodal_trajectory_modeling_tpu.parallel import mesh as mesh_lib
+
+__all__ = ["train_em_data_parallel", "train_em_shardmap"]
+
+
+def train_em_data_parallel(
+    params0,
+    assign0,
+    z,
+    x,
+    v,
+    patterns,
+    pattern_id,
+    *,
+    mesh: Mesh,
+    **train_kwargs,
+):
+    """Route 1: shard the batch, replicate parameters, let XLA partition the
+    jitted engine.  ``assign0`` is sharded with the batch."""
+    z, x, v, patterns, pattern_id = mesh_lib.shard_trajectories(
+        mesh, z, x, v, patterns, pattern_id
+    )
+    assign0 = jax.device_put(assign0, mesh_lib.data_sharding(mesh, 1, 0))
+    params0 = jax.device_put(params0, mesh_lib.replicated(mesh))
+    return em.train_em(
+        params0, assign0, z, x, v, patterns, pattern_id, **train_kwargs
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "method",
+        "min_members",
+    ),
+)
+def train_em_shardmap(
+    params0,
+    assign0,
+    z,
+    x,
+    v,
+    patterns,
+    pattern_id,
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    method: str = "solve",
+    min_members: int = 3,
+):
+    """Route 2: the EM while-loop inside ``shard_map(..., axis='data')``.
+
+    Per iteration the only communication is:
+      - ``psum`` of per-cluster membership counts  (C,)
+      - ``psum`` of the switch count               ()
+      - ``psum`` of initial-moment statistics      (C,)+(C,d)+(C,d,d)
+      - ``psum`` of transition regression stats    RegressionStats
+      - ``psum`` of measurement regression stats   RegressionStats
+    Everything else is local; the tiny per-cluster solves are computed
+    redundantly on every device (cheaper than broadcasting).
+    """
+    C = params0.pi.shape[0]
+    T = z.shape[0]
+    axis = "data"
+
+    def psum_tree(t):
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
+
+    def local_mstep_stats(z_l, x_l, assign_l):
+        dtype = z_l.dtype
+        n_l = z_l.shape[1]
+        W = jax.nn.one_hot(assign_l, C, dtype=dtype)
+        counts = jnp.sum(W, axis=0)
+        init_stats = rops.masked_moment_stats(z_l[0], W)
+        d = z_l.shape[2]
+        l = x_l.shape[2]
+        Wt = jnp.tile(W, (T - 1, 1))
+        tstats = rops.weighted_regression_stats(
+            z_l[:-1].reshape((T - 1) * n_l, d),
+            z_l[1:].reshape((T - 1) * n_l, d),
+            Wt,
+        )
+        Wm = jnp.tile(W, (T, 1))
+        mstats = rops.weighted_regression_stats(
+            z_l.reshape(T * n_l, d), x_l.reshape(T * n_l, l), Wm
+        )
+        return counts, init_stats, tstats, mstats
+
+    def global_params_from_stats(counts, init_stats, tstats, mstats, n_total):
+        pi = counts / n_total
+        m0, S0 = rops.mean_cov_from_stats(init_stats)
+        A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+        H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+        return em.MixtureParams(pi, m0, S0, A, G, H, L)
+
+    def shard_fn(params0, assign0, z_l, x_l, v_l, patterns_r, pid_l):
+        n_total = jax.lax.psum(
+            jnp.asarray(assign0.shape[0], z_l.dtype), axis
+        )
+
+        counts0 = jax.lax.psum(jnp.bincount(assign0, length=C), axis)
+        init_abort = jnp.min(counts0) <= min_members
+
+        stats = local_mstep_stats(z_l, x_l, assign0)
+        counts, init_stats, tstats, mstats = psum_tree(stats)
+        params_m = global_params_from_stats(
+            counts, init_stats, tstats, mstats, n_total
+        )
+        params_start = jax.tree.map(
+            lambda a, b: jnp.where(init_abort, a, b), params0, params_m
+        )
+        status0 = jnp.where(
+            init_abort, em.STATUS_INIT_ABORT, em.STATUS_RUNNING
+        )
+
+        def cond(state):
+            _, _, i, status = state
+            return (status == em.STATUS_RUNNING) & (i < n_steps)
+
+        def body(state):
+            params, assign, i, status = state
+            means, covs = em.cluster_joint_moments(params, T)
+            ll = jax.vmap(
+                lambda mu, cv: gops.masked_mvn_logpdf_grouped(
+                    v_l, mu, cv, patterns_r, pid_l, method=method
+                )
+            )(means, covs)
+            new_assign = em.assignments_from_logliks(params.pi, ll)
+            switches = jax.lax.psum(
+                jnp.sum(new_assign != assign), axis
+            )
+            counts = jax.lax.psum(
+                jnp.bincount(new_assign, length=C), axis
+            )
+            converged = switches == 0
+            empty = (~converged) & (jnp.min(counts) <= min_members)
+            run_m = (~converged) & (~empty)
+            stats = local_mstep_stats(z_l, x_l, new_assign)
+            g_counts, g_init, g_t, g_m = psum_tree(stats)
+            new_params = global_params_from_stats(
+                g_counts, g_init, g_t, g_m, n_total
+            )
+            params_out = jax.tree.map(
+                lambda a, b: jnp.where(run_m, a, b), new_params, params
+            )
+            status_out = jnp.where(
+                converged,
+                em.STATUS_CONVERGED,
+                jnp.where(empty, em.STATUS_EMPTY_CLUSTER, em.STATUS_RUNNING),
+            )
+            return (params_out, new_assign, i + 1, status_out)
+
+        params_f, assign_f, iters, status = jax.lax.while_loop(
+            cond, body, (params_start, assign0, jnp.int32(0), status0)
+        )
+        return params_f, assign_f, iters, status
+
+    shard_map = jax.shard_map
+
+    param_spec = jax.tree.map(lambda _: P(), params0)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis, None),
+            P(None, None),
+            P(axis),
+        ),
+        out_specs=(param_spec, P(axis), P(), P()),
+        check_vma=False,
+    )(params0, assign0, z, x, v, patterns, pattern_id)

@@ -26,7 +26,10 @@ def regressed_out_effect_cv(
         model, X=effect[fin], y=regressand[fin], n_jobs=-1, cv=5
     )
     resids = np.full_like(regressand, np.nan)
-    resids[fin] = regressand[fin] - preds
+    # cross_val_predict may return (n,) where y was (n, 1)
+    resids[fin] = regressand[fin] - np.reshape(
+        preds, np.shape(regressand[fin])
+    )
     return resids
 
 
@@ -68,9 +71,9 @@ def stratified_logit_cv_metrics(
             skl_mets.roc_auc_score(y_true=y[test_idx], y_score=pred_col[test_idx])
         )
     perf = {
-        "AUC": skl_mets.roc_auc_score(y_true=y, y_score=pred_col).round(4),
-        "mean batch AUC": np.mean(fold_aucs).round(4),
-        "std dev batch AUC": np.std(fold_aucs).round(4),
-        "std err of the mean": sp_stats.sem(fold_aucs).round(4),
+        "AUC": round(float(skl_mets.roc_auc_score(y_true=y, y_score=pred_col)), 4),
+        "mean batch AUC": round(float(np.mean(fold_aucs)), 4),
+        "std dev batch AUC": round(float(np.std(fold_aucs)), 4),
+        "std err of the mean": round(float(sp_stats.sem(fold_aucs)), 4),
     }
     return fold_aucs if not return_perfs else (fold_aucs, perf)

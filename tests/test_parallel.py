@@ -1,0 +1,124 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: both the
+auto-partitioned and the explicit shard_map EM must reproduce the
+single-device engine exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_trajectory_modeling_tpu import ops
+from multimodal_trajectory_modeling_tpu.models import em
+from multimodal_trajectory_modeling_tpu.parallel import mesh as mesh_lib
+from multimodal_trajectory_modeling_tpu.parallel import sharded_em
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    C, T, n, d, l = 3, 6, 800, 2, 3  # n divisible by 8
+    z = np.zeros((T, n, d))
+    x = np.zeros((T, n, l))
+    labels = rng.integers(0, C, size=n)
+    for c in range(C):
+        idx = labels == c
+        A = rng.normal(scale=0.4, size=(d, d))
+        H = rng.normal(size=(d, l))
+        m = 2.0 * rng.normal(size=d)
+        zc, xc = ops.sample_trajectories(
+            jax.random.PRNGKey(c),
+            int(idx.sum()),
+            T,
+            jnp.asarray(m),
+            jnp.eye(d) / 4,
+            jnp.asarray(A),
+            jnp.eye(d) / 2,
+            jnp.asarray(H),
+            jnp.eye(l) / 3,
+        )
+        z[:, idx], x[:, idx] = np.asarray(zc), np.asarray(xc)
+    # NaN-pad some trajectories
+    lens = rng.choice([T // 2, T], size=n, p=[0.4, 0.6])
+    for Ln in np.unique(lens):
+        z[Ln:, lens == Ln] = np.nan
+        x[Ln:, lens == Ln] = np.nan
+    v = np.asarray(em.pack_joint(jnp.asarray(z), jnp.asarray(x)))
+    patterns, pid = ops.pattern_groups(v)
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C,
+        m=jnp.asarray(rng.normal(size=(C, d))),
+        S=jnp.asarray(np.stack([np.eye(d)] * C)),
+        A=jnp.asarray(rng.normal(size=(C, d, d))),
+        G=jnp.asarray(np.stack([np.eye(d)] * C)),
+        H=jnp.asarray(rng.normal(size=(C, d, l))),
+        L=jnp.asarray(np.stack([np.eye(l)] * C)),
+    )
+    assign0 = jnp.asarray(rng.integers(0, C, size=n))
+    return dict(
+        z=jnp.asarray(z),
+        x=jnp.asarray(x),
+        v=jnp.asarray(v),
+        patterns=jnp.asarray(patterns),
+        pid=jnp.asarray(pid),
+        params0=params0,
+        assign0=assign0,
+    )
+
+
+def _single_device_result(p):
+    return em.train_em(
+        p["params0"], p["assign0"], p["z"], p["x"], p["v"], p["patterns"],
+        p["pid"], n_steps=100,
+    )
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_auto_partitioned_matches_single_device(problem):
+    ref_params, ref_assign, ref_iters, ref_status = _single_device_result(
+        problem
+    )
+    mesh = mesh_lib.make_mesh()
+    params, assign, iters, status = sharded_em.train_em_data_parallel(
+        problem["params0"],
+        problem["assign0"],
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+        mesh=mesh,
+        n_steps=100,
+    )
+    assert int(status) == int(ref_status)
+    np.testing.assert_array_equal(np.asarray(assign), np.asarray(ref_assign))
+    for a, b in zip(params, ref_params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_shardmap_matches_single_device(problem):
+    ref_params, ref_assign, ref_iters, ref_status = _single_device_result(
+        problem
+    )
+    mesh = mesh_lib.make_mesh()
+    params, assign, iters, status = sharded_em.train_em_shardmap(
+        problem["params0"],
+        problem["assign0"],
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+        mesh=mesh,
+        n_steps=100,
+    )
+    assert int(status) == int(ref_status)
+    np.testing.assert_array_equal(np.asarray(assign), np.asarray(ref_assign))
+    for a, b in zip(params, ref_params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
+        )
