@@ -1,0 +1,43 @@
+# Experiment pipeline (mirrors the reference Makefile:20-43).
+#
+# `make experiments` runs the four ADNI drivers; `make statistics` runs the
+# post-hoc stage (Python implementations of the reference's Python + R
+# scripts).  Use MTM_N_RESTARTS to trade fidelity for speed (the reference
+# protocol is 1000 restarts; results are cached by content hash under tmp/).
+
+run-python := python3
+
+experiments: $(wildcard drivers/*.py)
+	$(run-python) drivers/model-selection.py
+	$(run-python) drivers/inference-adni-xval.py
+	$(run-python) drivers/inference-adni-xval-collate-results.py
+	$(run-python) drivers/inference-adni-trajectories-nonlinear.py
+	# $(run-python) drivers/inference-train-adni-test-macc.py  # data not shipped
+
+statistics: $(wildcard posthoc/*.py)
+	$(run-python) posthoc/lme_biomarkers_adni.py
+	$(run-python) posthoc/lme_mmse_adni.py
+	# $(run-python) posthoc/lme_mmse_macc.py  # data not shipped
+	$(run-python) posthoc/contingency_tbl_comp_gmm_adni.py
+	$(run-python) posthoc/prognostic_auc_comp_adni.py
+	$(run-python) posthoc/prognostic_survival_models_adni.py
+	$(run-python) posthoc/prognostic_lm_adni.py
+	$(run-python) posthoc/prognostic_lm_comp_adni.py
+	$(run-python) posthoc/prognostic_conc_comp_adni_multiv.py
+	$(run-python) posthoc/prognostic_corr_adni.py
+	$(run-python) posthoc/plot_posterior_trajectories_adni.py
+
+test:
+	$(run-python) -m pytest tests/ -x -q
+
+bench:
+	$(run-python) bench.py
+
+clean:
+	-rm -rf figures/
+	-rm -rf results/
+	-rm -rf posthoc/results/
+
+all: experiments statistics
+.PHONY: all statistics experiments test bench clean
+.DEFAULT: all

@@ -207,26 +207,19 @@ def mstep(
     ``reg_mode="lstsq"`` replicates the bare SVD lstsq path,
     ``reg_mode="ridge"`` the sklearn-Ridge path used when ``alpha > 2·eps``.
     """
-    T, n, d = z.shape
-    l = x.shape[-1]
     dtype = z.dtype
     W = jax.nn.one_hot(assign, n_clusters, dtype=dtype)  # (n, C)
 
     pi = jnp.mean(W, axis=0)
     m0, S0 = rops.masked_mean_and_cov(z[0], W)
 
-    # transitions: all (z_t, z_{t+1}) pairs, any-NaN rows dropped per pair
-    Wt = jnp.tile(W, (T - 1, 1))  # ((T-1)*n, C)
-    Xp = z[:-1].reshape((T - 1) * n, d)
-    Yn = z[1:].reshape((T - 1) * n, d)
-    tstats = rops.weighted_regression_stats(Xp, Yn, Wt)
+    # transitions: all (z_t, z_{t+1}) pairs, any-NaN rows dropped per pair;
+    # time axis contracted inside the einsums (no (T·n, C) weight tile)
+    tstats = rops.weighted_regression_stats_timebatched(z[:-1], z[1:], W)
     A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
 
     # measurements: all (z_t, x_t) pairs over every time step
-    Wm = jnp.tile(W, (T, 1))
-    Za = z.reshape(T * n, d)
-    Xa = x.reshape(T * n, l)
-    mstats = rops.weighted_regression_stats(Za, Xa, Wm)
+    mstats = rops.weighted_regression_stats_timebatched(z, x, W)
     H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
 
     return MixtureParams(pi, m0, S0, A, G, H, L)

@@ -79,6 +79,32 @@ def weighted_regression_stats(
     return RegressionStats(xtx, xty, yty, sx, sy, count)
 
 
+def weighted_regression_stats_timebatched(
+    X: jax.Array, Y: jax.Array, W: jax.Array
+) -> RegressionStats:
+    """Time-batched variant: ``X (T', n, p)``, ``Y (T', n, q)`` pairs with a
+    per-*instance* weight matrix ``W (n, C)`` applied at every time step.
+
+    Contracting the time axis inside the einsums avoids materializing the
+    ``(T'·n, C)`` tiled weight matrix (hundreds of MB at n=1e6) that the
+    flat path would need — the dominant M-step memory traffic.
+    """
+    valid = (
+        jnp.isfinite(X).all(axis=-1) & jnp.isfinite(Y).all(axis=-1)
+    )  # (T', n)
+    vf = valid.astype(W.dtype)
+    Xm = jnp.where(jnp.isfinite(X), X, 0.0) * vf[:, :, None]
+    Yc = jnp.where(jnp.isfinite(Y), Y, 0.0)
+    Ym = Yc * vf[:, :, None]
+    xtx = jnp.einsum("tni,tnj,nc->cij", Xm, Xm, W)
+    xty = jnp.einsum("tni,tnj,nc->cij", Xm, Yc, W)
+    yty = jnp.einsum("tni,tnj,nc->cij", Ym, Yc, W)
+    sx = jnp.einsum("tni,nc->ci", Xm, W)
+    sy = jnp.einsum("tni,nc->ci", Ym, W)
+    count = jnp.einsum("tn,nc->c", vf, W)
+    return RegressionStats(xtx, xty, yty, sx, sy, count)
+
+
 def _psd_pinv_solve(M: jax.Array, B: jax.Array, rcond: float) -> jax.Array:
     """Solve ``M A = B`` for PSD ``M`` via eigh-based pseudo-inverse.
 

@@ -111,18 +111,10 @@ def train_em_shardmap(
         W = jax.nn.one_hot(assign_l, C, dtype=dtype)
         counts = jnp.sum(W, axis=0)
         init_stats = rops.masked_moment_stats(z_l[0], W)
-        d = z_l.shape[2]
-        l = x_l.shape[2]
-        Wt = jnp.tile(W, (T - 1, 1))
-        tstats = rops.weighted_regression_stats(
-            z_l[:-1].reshape((T - 1) * n_l, d),
-            z_l[1:].reshape((T - 1) * n_l, d),
-            Wt,
+        tstats = rops.weighted_regression_stats_timebatched(
+            z_l[:-1], z_l[1:], W
         )
-        Wm = jnp.tile(W, (T, 1))
-        mstats = rops.weighted_regression_stats(
-            z_l.reshape(T * n_l, d), x_l.reshape(T * n_l, l), Wm
-        )
+        mstats = rops.weighted_regression_stats_timebatched(z_l, x_l, W)
         return counts, init_stats, tstats, mstats
 
     def global_params_from_stats(counts, init_stats, tstats, mstats, n_total):

@@ -104,9 +104,13 @@ class CoxPHFitter:
         fit_options: dict = None,
         show_progress: bool = False,
     ):
+        # fit_options' step_size/max_steps are accepted for lifelines
+        # signature compatibility, but optimization uses damped Newton with
+        # backtracking — same optimum, far fewer iterations than fixed tiny
+        # steps
         fit_options = fit_options or {}
-        step_size = float(fit_options.get("step_size", 0.95))
         max_steps = int(fit_options.get("max_steps", 500))
+        max_steps = min(max_steps, 200)
 
         self.duration_col = duration_col
         self.event_col = event_col
@@ -126,19 +130,27 @@ class CoxPHFitter:
         Xn = (X - mu) / sd
 
         beta = np.zeros(X.shape[1])
-        prev = np.inf
+        nll, grad, hess = _efron_neg_loglik_grad_hess(
+            beta, Xn, durations, events, self.penalizer
+        )
         for _ in range(max_steps):
-            nll, grad, hess = _efron_neg_loglik_grad_hess(
-                beta, Xn, durations, events, self.penalizer
-            )
             try:
                 delta = np.linalg.solve(hess, grad)
             except np.linalg.LinAlgError:
                 delta = np.linalg.lstsq(hess, grad, rcond=None)[0]
-            beta = beta - step_size * delta
-            if abs(prev - nll) < 1e-9 * (abs(prev) + 1e-9):
+            step = 1.0
+            for _bt in range(20):  # backtracking line search
+                cand = beta - step * delta
+                nll_c, grad_c, hess_c = _efron_neg_loglik_grad_hess(
+                    cand, Xn, durations, events, self.penalizer
+                )
+                if np.isfinite(nll_c) and nll_c <= nll + 1e-12:
+                    break
+                step *= 0.5
+            converged = abs(nll - nll_c) < 1e-10 * (abs(nll) + 1e-10)
+            beta, nll, grad, hess = cand, nll_c, grad_c, hess_c
+            if converged:
                 break
-            prev = nll
 
         self.params_ = pd.Series(beta / sd, index=cols)
         self._train_df = df
