@@ -118,7 +118,7 @@ def bench_tpu(z, x, v, patterns, pid):
     # single step and chain it from the host (dispatch ≪ step time).
     @jax.jit
     def em_step(params, zj, xj, vj, pj, pidj):
-        ll = em.estep_logliks(params, vj, pj, pidj, T=T, method="inverse")
+        ll = em.estep_logliks(params, vj, pj, pidj, T=T, method="pallas")
         assign = em.assignments_from_logliks(params.pi, ll)
         return em.mstep(zj, xj, assign, n_clusters=C)
 

@@ -157,8 +157,18 @@ def estep_logliks(
 
     Reference: ``conditional_log_likelihoods_first_T0_steps``
     (marginalizable_mixture_model.py:439-494) — rebuild mm/CC per cluster,
-    one masked-Gaussian kernel call over all instances."""
+    one masked-Gaussian kernel call over all instances.
+
+    ``method`` selects the quadratic-form path: ``"solve"`` (triangular
+    solves), ``"inverse"`` (precomputed inverses, MXU GEMMs) or
+    ``"pallas"`` (the fused TPU kernel, ops/pallas_estep.py)."""
     means, covs = cluster_joint_moments(params, T)
+    if method == "pallas":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_estep
+
+        return pallas_estep.estep_logliks_fused(
+            means, covs, v, patterns, pattern_id
+        )
     return jax.vmap(
         lambda mu, cov: gops.masked_mvn_logpdf_grouped(
             v, mu, cov, patterns, pattern_id, method=method

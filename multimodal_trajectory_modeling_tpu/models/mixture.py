@@ -45,7 +45,7 @@ import numpy as np
 import scipy.stats as sp_stats
 import sklearn.cluster as skl_cluster
 
-from multimodal_trajectory_modeling_tpu import ops
+from multimodal_trajectory_modeling_tpu import native, ops
 from multimodal_trajectory_modeling_tpu.models import em
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
@@ -202,14 +202,8 @@ class MMLinGaussSS_marginalizable:
         dt = _compute_dtype()
         z = np.atleast_3d(states)[:T0].astype(float)
         x = np.atleast_3d(observations)[:T0].astype(float)
-        v_np = np.concatenate(
-            [
-                z.transpose(1, 0, 2).reshape(z.shape[1], -1),
-                x.transpose(1, 0, 2).reshape(x.shape[1], -1),
-            ],
-            axis=1,
-        )
-        patterns, pid = ops.pattern_groups(v_np)
+        v_np = native.pack_joint(z, x)
+        patterns, pid = native.pattern_groups(v_np)
         out = (
             T0,
             jnp.asarray(z, dt),
@@ -666,8 +660,14 @@ class MMLinGaussSS_marginalizable:
 
     def train(self, *, verbose: bool = False, n_steps: int = 1000):
         """EM to convergence (0 switches) or ``n_steps``, with the
-        near-empty-cluster guards (reference mixture:1310-1366).  The whole
-        loop runs jitted on-device."""
+        near-empty-cluster guards (reference mixture:1310-1366).
+
+        The whole loop runs jitted on-device; with ``verbose`` the loop is
+        stepped from the host instead, printing the rounded objective after
+        every M step exactly like the reference and recording an
+        :class:`~..utils.trace.EMTrace` in ``self.last_trace``."""
+        if verbose:
+            return self._train_verbose(n_steps=n_steps)
         _T0, z, x, v, patterns, pid = self._packed(None, None)
         params, assign, iters, status = em.train_em(
             self._stacked_params(),
@@ -684,16 +684,53 @@ class MMLinGaussSS_marginalizable:
         status = int(status)
         if status == em.STATUS_INIT_ABORT:
             # reference returns before stamping last_trained (mixture:1328-1336)
-            if verbose:
-                print("Encountered near-empty cluster.")
             return self
         self._set_params(params)
         self.cluster_assignment = np.asarray(assign)
-        if verbose:
-            if status == em.STATUS_CONVERGED:
-                print(f"Optimisation completed in {int(iters) - 1} steps.")
-            elif status == em.STATUS_EMPTY_CLUSTER:
+        self.last_trained = (
+            datetime.datetime.now(datetime.timezone.utc)
+            .replace(microsecond=0)
+            .astimezone()
+            .isoformat()
+        )
+        return self
+
+    def _train_verbose(self, *, n_steps: int):
+        """Host-stepped EM with the reference's exact verbose prints
+        (rounded Q after every M step, mixture:1337-1359) and an EMTrace."""
+        import time as _time
+
+        from multimodal_trajectory_modeling_tpu.utils.trace import EMTrace
+
+        trace = EMTrace()
+        self.last_trace = trace
+        counts = np.bincount(
+            self.cluster_assignment, minlength=self.n_clusters
+        )
+        if np.min(counts) <= 3:
+            print("Encountered near-empty cluster.")
+            return self
+        t0 = _time.perf_counter()
+        self.M_step()
+        q = self.e_complete_data_log_lik()
+        print(np.round(q, 3))
+        trace.record(0, q, -1, _time.perf_counter() - t0)
+        for i in range(n_steps):
+            t0 = _time.perf_counter()
+            n_switches = self.E_step()
+            if n_switches == 0:
+                print(f"Optimisation completed in {i} steps.")
+                break
+            counts = np.bincount(
+                self.cluster_assignment, minlength=self.n_clusters
+            )
+            if np.min(counts) <= 3:
                 print("Encountered near-empty cluster.")
+                break
+            self.M_step()
+            q = self.e_complete_data_log_lik()
+            print(np.round(q, 3))
+            trace.record(i + 1, q, n_switches, _time.perf_counter() - t0)
         self.last_trained = (
             datetime.datetime.now(datetime.timezone.utc)
             .replace(microsecond=0)
