@@ -201,7 +201,9 @@ def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
     return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "reg_mode", "alpha"))
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "reg_mode", "alpha", "impl")
+)
 def mstep(
     z: jax.Array,
     x: jax.Array,
@@ -210,13 +212,36 @@ def mstep(
     n_clusters: int,
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
+    impl: str = "xla",
 ) -> MixtureParams:
     """Closed-form M step for all clusters at once.
 
     Reference: ``M_step`` (marginalizable_mixture_model.py:1254-1308) —
     ``reg_mode="lstsq"`` replicates the bare SVD lstsq path,
     ``reg_mode="ridge"`` the sklearn-Ridge path used when ``alpha > 2·eps``.
+
+    ``impl="pallas"`` streams the batch once through the fused
+    sufficient-statistics kernel (ops/pallas_mstep.py); ``impl="xla"`` uses
+    time-batched einsums.  Identical results.
     """
+    if impl == "pallas":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_mstep
+
+        interpret = jax.devices()[0].platform != "tpu"
+        n = z.shape[1]
+        d, l = z.shape[-1], x.shape[-1]
+        stats = pallas_mstep.mstep_stats_pallas(
+            z, x, assign, n_clusters=n_clusters, interpret=interpret
+        )
+        tstats, mstats, istats = pallas_mstep.unpack_mstep_stats(
+            stats, d, l, n_clusters
+        )
+        pi = jnp.bincount(assign, length=n_clusters) / n
+        m0, S0 = rops.mean_cov_from_stats(istats)
+        A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+        H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+        return MixtureParams(pi, m0, S0, A, G, H, L)
+
     dtype = z.dtype
     W = jax.nn.one_hot(assign, n_clusters, dtype=dtype)  # (n, C)
 

@@ -30,3 +30,14 @@ from multimodal_trajectory_modeling_tpu.ops.samplers import (  # noqa: F401
     sample_nonlinear_trajectories,
     sample_trajectories,
 )
+from multimodal_trajectory_modeling_tpu.ops.regression import (  # noqa: F401
+    MomentStats,
+    masked_moment_stats,
+    mean_cov_from_stats,
+    weighted_regression_stats_timebatched,
+)
+from multimodal_trajectory_modeling_tpu.ops.knn import (  # noqa: F401
+    KNNRegressor,
+    grid_search_knn,
+    knn_predict,
+)

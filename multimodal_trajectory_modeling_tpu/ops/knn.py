@@ -57,9 +57,30 @@ def knn_predict(
     return out.reshape(-1, train_y.shape[1])[:n]
 
 
+def _knn_predict_np(train_x, train_y, query, k):
+    """Host path: argpartition top-k.  Used below a work threshold — inside
+    the generic-mixture EM the train-set shape changes every M step, and
+    re-jitting the device kernel per shape both costs compiles and grows
+    the compile cache without bound (observed OOM in the nonlinear driver).
+    """
+    k = min(k, train_x.shape[0])
+    d2 = (
+        np.sum(query * query, axis=1, keepdims=True)
+        - 2.0 * query @ train_x.T
+        + np.sum(train_x * train_x, axis=1)[None, :]
+    )
+    idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    return train_y[idx].mean(axis=1)
+
+
+# below this (train × query) work size the host path wins (no compile)
+_DEVICE_WORK_THRESHOLD = 5_000_000
+
+
 class KNNRegressor:
     """sklearn-compatible surface (``fit`` / ``predict``) over
-    :func:`knn_predict`; picklable via plain arrays."""
+    :func:`knn_predict`; picklable via plain arrays.  Small problems take a
+    compile-free host path; large ones the MXU kernel."""
 
     def __init__(self, n_neighbors: int = 5):
         self.n_neighbors = int(n_neighbors)
@@ -76,6 +97,8 @@ class KNNRegressor:
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         X = np.atleast_2d(np.asarray(X, dtype=float))
+        if self._x.shape[0] * X.shape[0] < _DEVICE_WORK_THRESHOLD:
+            return _knn_predict_np(self._x, self._y, X, self.n_neighbors)
         out = np.asarray(
             knn_predict(
                 jnp.asarray(self._x),
@@ -124,14 +147,19 @@ def grid_search_knn(
     n = X.shape[0]
     folds = _kfold_bounds(n, n_folds)
     scores = np.zeros((len(k_grid), n_folds))
-    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    small = n * n < _DEVICE_WORK_THRESHOLD
+    Xj, Yj = (X, Y) if small else (jnp.asarray(X), jnp.asarray(Y))
     for f, (lo, hi) in enumerate(folds):
         mask = np.zeros(n, dtype=bool)
         mask[lo:hi] = True
         tr_x, tr_y = Xj[~mask], Yj[~mask]
         va_x, va_y = Xj[mask], Yj[mask]
         for ki, k in enumerate(k_grid):
-            pred = knn_predict(tr_x, tr_y, va_x, k=k)
-            scores[ki, f] = -float(jnp.mean((pred - va_y) ** 2))
+            if small:
+                pred = _knn_predict_np(tr_x, tr_y, va_x, k)
+                scores[ki, f] = -float(np.mean((pred - va_y) ** 2))
+            else:
+                pred = knn_predict(tr_x, tr_y, va_x, k=k)
+                scores[ki, f] = -float(jnp.mean((pred - va_y) ** 2))
     mean_scores = scores.mean(axis=1)
     return int(k_grid[int(np.argmax(mean_scores))])

@@ -33,7 +33,53 @@ from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
 from multimodal_trajectory_modeling_tpu.ops import regression as rops
 from multimodal_trajectory_modeling_tpu.parallel import mesh as mesh_lib
 
-__all__ = ["train_em_data_parallel", "train_em_shardmap"]
+__all__ = [
+    "train_em_data_parallel",
+    "train_em_shardmap",
+    "train_em_multistart_sharded",
+]
+
+
+def train_em_multistart_sharded(
+    params0,
+    assign0,
+    z,
+    x,
+    v,
+    patterns,
+    pattern_id,
+    *,
+    mesh: Mesh,
+    axis: str = "start",
+    **train_kwargs,
+):
+    """Restart-parallel multi-start training: the leading restart axis of
+    ``params0``/``assign0`` is sharded across the mesh; each device trains
+    its own slice of the vmapped EM batch with zero communication (the
+    embarrassingly-parallel axis of the multi-start protocol,
+    reference mixture:1368-1471).  Data and patterns are replicated."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+
+    params0 = jax.tree.map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        ),
+        params0,
+    )
+    assign0 = jax.device_put(assign0, NamedSharding(mesh, P(axis, None)))
+    z, x, v = (jax.device_put(a, rep) for a in (z, x, v))
+    patterns = jax.device_put(patterns, rep)
+    pattern_id = jax.device_put(pattern_id, rep)
+
+    from multimodal_trajectory_modeling_tpu.models.em import (
+        train_em_multistart,
+    )
+
+    return train_em_multistart(
+        params0, assign0, z, x, v, patterns, pattern_id, **train_kwargs
+    )
 
 
 def train_em_data_parallel(

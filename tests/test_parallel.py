@@ -122,3 +122,47 @@ def test_shardmap_matches_single_device(problem):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
         )
+
+
+def test_restart_parallel_multistart_matches_unsharded(problem):
+    """Sharding the restart axis across the mesh must not change results."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(11)
+    R, C, d, l = 8, 3, 2, 3
+    n = problem["assign0"].shape[0]
+
+    def one_params():
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.asarray(np.stack([np.eye(d)] * C)),
+            A=jnp.asarray(rng.normal(size=(C, d, d))),
+            G=jnp.asarray(np.stack([np.eye(d)] * C)),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.asarray(np.stack([np.eye(l)] * C)),
+        )
+
+    params0 = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[one_params() for _ in range(R)]
+    )
+    assign0 = jnp.asarray(rng.integers(0, C, size=(R, n)))
+
+    args = (
+        params0,
+        assign0,
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+    )
+    ref = em.train_em_multistart(*args, n_steps=30)
+    mesh = Mesh(np.asarray(jax.devices()), ("start",))
+    got = sharded_em.train_em_multistart_sharded(
+        *args, mesh=mesh, n_steps=30
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(
+        np.asarray(got[4]), np.asarray(ref[4]), rtol=1e-9
+    )
