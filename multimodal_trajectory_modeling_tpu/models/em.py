@@ -197,8 +197,8 @@ def observed_logliks(
 
 
 def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
-    """Hard MLE assignment ``argmax_c (log π_c + ll_c)`` → ``(n,)``."""
-    return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0)
+    """Hard MLE assignment ``argmax_c (log π_c + ll_c)`` → ``(n,)`` int32."""
+    return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0).astype(jnp.int32)
 
 
 @functools.partial(
@@ -338,6 +338,7 @@ def train_em(
     """
     T = z.shape[0]
     C = params0.pi.shape[0]
+    assign0 = assign0.astype(jnp.int32)
 
     counts0 = jnp.bincount(assign0, length=C)
     init_abort = jnp.min(counts0) <= min_members

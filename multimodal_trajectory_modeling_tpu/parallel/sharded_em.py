@@ -171,6 +171,7 @@ def train_em_shardmap(
         return em.MixtureParams(pi, m0, S0, A, G, H, L)
 
     def shard_fn(params0, assign0, z_l, x_l, v_l, patterns_r, pid_l):
+        assign0 = assign0.astype(jnp.int32)
         n_total = jax.lax.psum(
             jnp.asarray(assign0.shape[0], z_l.dtype), axis
         )

@@ -1,0 +1,55 @@
+"""End-to-end smoke tests of the experiment drivers as subprocesses
+(tiny restart budgets; outputs written into a temp cwd).  These are the
+CI-level equivalent of the reference's `make experiments` integration run
+(reference Makefile:20-34)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, tmp_path, extra_env=None, timeout=560):
+    env = os.environ.copy()
+    env["MTM_N_RESTARTS"] = "2"
+    env.update(extra_env or {})
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "drivers", script)],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_xval_then_collate_smoke(tmp_path):
+    r = _run("inference-adni-xval.py", tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stem = "ADNI_r7_xval10_4clusters"
+    assert (tmp_path / "results" / f"{stem}_results.csv").exists()
+    assert (tmp_path / "posthoc" / "results" / f"{stem}_mtm_post.csv").exists()
+
+    r2 = _run("inference-adni-xval-collate-results.py", tmp_path)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "maintain labels" in r2.stdout
+    for out in (
+        "prognostics_all.csv",
+        "survival_modelling_data.csv",
+        "mmse_by_cluster_over_time.csv",
+        "biomarkers_by_cluster_over_time.csv",
+        "contingency_table_ours_test.csv",
+        "contingency_table_gmm_init.csv",
+    ):
+        assert (tmp_path / "posthoc" / "results" / out).exists(), out
+
+
+@pytest.mark.slow
+def test_macc_driver_gates_cleanly(tmp_path):
+    r = _run("inference-train-adni-test-macc.py", tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "not shipped" in r.stdout
