@@ -15,6 +15,7 @@ from multimodal_trajectory_modeling_tpu.models.knn_model import (
     _finite_rows,
     _fit_knn_block,
     _gauss_logpdf_rows,
+    _gauss_logpdf_rows_mean,
 )
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,
@@ -111,13 +112,10 @@ class StateSpaceHybrid(StateSpaceModel):
             data = self.data
         states, measurements = map(np.atleast_3d, data)
         T = states.shape[0]
-        lp = np.array(
-            ops.mvn_logpdf(
-                jnp.asarray(states[0].astype(float)),
-                jnp.asarray(self.state_init["mean"], dtype=float),
-                jnp.asarray(np.atleast_2d(self.state_init["cov"])),
-            ),
-            dtype=float,
+        lp = _gauss_logpdf_rows_mean(
+            states[0].astype(float),
+            self.state_init["mean"],
+            self.state_init["cov"],
         )
         for t in range(T - 1):
             s0, s1 = states[t], states[t + 1]

@@ -118,15 +118,10 @@ class StateSpaceKNN(StateSpaceModel):
             data = self.data
         states, measurements = map(np.atleast_3d, data)
         T = states.shape[0]
-        lp = np.array(
-            ops.mvn_logpdf(
-                jnp.asarray(
-                    states[0].astype(float)
-                ),
-                jnp.asarray(self.state_init["mean"], dtype=jnp.asarray(states[0].astype(float)).dtype),
-                jnp.asarray(np.atleast_2d(self.state_init["cov"])),
-            ),
-            dtype=float,
+        lp = _gauss_logpdf_rows_mean(
+            states[0].astype(float),
+            self.state_init["mean"],
+            self.state_init["cov"],
         )
         for t in range(T - 1):
             s0, s1 = states[t], states[t + 1]
@@ -150,12 +145,25 @@ class StateSpaceKNN(StateSpaceModel):
 
 
 def _gauss_logpdf_rows(resid: np.ndarray, cov) -> np.ndarray:
+    """Dense Gaussian log-pdf of residual rows, on the host.
+
+    The factorized kNN/hybrid scores evaluate this per (time step, cluster)
+    on a few hundred rows inside a host EM loop — device dispatch overhead
+    (~ms each) dominated the nonlinear driver, so this stays NumPy."""
+    import scipy.linalg as sp_linalg
+
     cov = np.atleast_2d(cov)
-    return np.asarray(
-        ops.mvn_logpdf(
-            jnp.asarray(np.atleast_2d(resid).astype(float)),
-            jnp.zeros(cov.shape[0]),
-            jnp.asarray(cov),
-        ),
-        dtype=float,
+    resid = np.atleast_2d(resid).astype(float)
+    k = cov.shape[0]
+    L = np.linalg.cholesky(cov)
+    y = sp_linalg.solve_triangular(L, resid.T, lower=True)
+    logdet = 2.0 * np.sum(np.log(np.diag(L)))
+    return -0.5 * (
+        k * np.log(2 * np.pi) + logdet + np.sum(y * y, axis=0)
     )
+
+
+def _gauss_logpdf_rows_mean(
+    x: np.ndarray, mean: np.ndarray, cov
+) -> np.ndarray:
+    return _gauss_logpdf_rows(np.atleast_2d(x) - np.atleast_1d(mean), cov)

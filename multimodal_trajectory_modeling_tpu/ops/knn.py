@@ -57,6 +57,14 @@ def knn_predict(
     return out.reshape(-1, train_y.shape[1])[:n]
 
 
+def _sqdist_np(train_x, query):
+    return (
+        np.sum(query * query, axis=1, keepdims=True)
+        - 2.0 * query @ train_x.T
+        + np.sum(train_x * train_x, axis=1)[None, :]
+    )
+
+
 def _knn_predict_np(train_x, train_y, query, k):
     """Host path: argpartition top-k.  Used below a work threshold — inside
     the generic-mixture EM the train-set shape changes every M step, and
@@ -64,13 +72,25 @@ def _knn_predict_np(train_x, train_y, query, k):
     the compile cache without bound (observed OOM in the nonlinear driver).
     """
     k = min(k, train_x.shape[0])
-    d2 = (
-        np.sum(query * query, axis=1, keepdims=True)
-        - 2.0 * query @ train_x.T
-        + np.sum(train_x * train_x, axis=1)[None, :]
-    )
+    d2 = _sqdist_np(train_x, query)
     idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
     return train_y[idx].mean(axis=1)
+
+
+def _knn_predict_np_multi_k(train_x, train_y, query, ks):
+    """One distance matrix + one ordered top-k(max) shared by every k in
+    the grid — the k-fold grid search evaluates |grid| models per fold for
+    the price of one."""
+    kmax = min(max(ks), train_x.shape[0])
+    d2 = _sqdist_np(train_x, query)
+    part = np.argpartition(d2, kmax - 1, axis=1)[:, :kmax]
+    order = np.take_along_axis(d2, part, axis=1).argsort(axis=1)
+    nearest = np.take_along_axis(part, order, axis=1)  # (n, kmax) sorted
+    out = {}
+    for k in ks:
+        kk = min(k, kmax)
+        out[k] = train_y[nearest[:, :kk]].mean(axis=1)
+    return out
 
 
 # below this (train × query) work size the host path wins (no compile)
@@ -154,11 +174,12 @@ def grid_search_knn(
         mask[lo:hi] = True
         tr_x, tr_y = Xj[~mask], Yj[~mask]
         va_x, va_y = Xj[mask], Yj[mask]
-        for ki, k in enumerate(k_grid):
-            if small:
-                pred = _knn_predict_np(tr_x, tr_y, va_x, k)
-                scores[ki, f] = -float(np.mean((pred - va_y) ** 2))
-            else:
+        if small:
+            preds = _knn_predict_np_multi_k(tr_x, tr_y, va_x, k_grid)
+            for ki, k in enumerate(k_grid):
+                scores[ki, f] = -float(np.mean((preds[k] - va_y) ** 2))
+        else:
+            for ki, k in enumerate(k_grid):
                 pred = knn_predict(tr_x, tr_y, va_x, k=k)
                 scores[ki, f] = -float(jnp.mean((pred - va_y) ** 2))
     mean_scores = scores.mean(axis=1)
