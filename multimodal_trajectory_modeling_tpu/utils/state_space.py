@@ -93,7 +93,11 @@ def standardize(arr, *, params=None, return_params: bool = False):
         hi = np.nanmax(arr, axis=(0, 1), keepdims=True)
     else:
         lo, hi = params["arr_mn"], params["arr_mx"]
-    out = 0.9 * (arr - lo) / (hi - lo) + 0.1
+    # op order matches the reference exactly (util_state_space.py:174) so
+    # standardized bytes — and hence the md5 model-cache keys — are
+    # bit-identical (verified: 3-cluster ADNI hash 49cb9120d3a1…, the hash
+    # hardcoded in the reference's MACC transfer driver)
+    out = 0.9 * np.divide(arr - lo, hi - lo) + 0.1
     if return_params:
         return out, {"arr_mn": lo, "arr_mx": hi}
     return out

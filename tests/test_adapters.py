@@ -122,3 +122,22 @@ def test_macc_adapter_paths(synthetic_macc):
 def test_macc_gates_cleanly_when_absent(tmp_path, monkeypatch):
     monkeypatch.setattr(macc, "_DATA_DIR", str(tmp_path / "nope"))
     assert not macc.data_available()
+
+
+def test_bitlevel_hash_parity_with_reference():
+    """Standardized ADNI bytes hash to the reference's published cache key
+    (the hex hardcoded in its MACC transfer driver,
+    inference-train-adni-test-macc.py:29)."""
+    import hashlib
+
+    from multimodal_trajectory_modeling_tpu.utils import state_space as util
+
+    z, x, d, ids, time = adni.get_trajectories()
+    zs = util.standardize(z)
+    h = hashlib.md5(
+        np.array(np.atleast_3d(zs), dtype=float).tobytes()
+        + np.array(np.atleast_3d(x), dtype=float).tobytes()
+        + b"3"
+        + np.format_float_positional(1.0, unique=True).encode()
+    ).hexdigest()
+    assert h == "49cb9120d3a1713763a0bdbdb97779bb"
