@@ -22,9 +22,7 @@ from multimodal_trajectory_modeling_tpu.models.state_space_model import (
 )
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
-import jax.numpy as jnp
 
-from multimodal_trajectory_modeling_tpu import ops
 
 np_eps = np.finfo(float).eps
 

@@ -14,7 +14,6 @@ import pickle
 
 import numpy as np
 
-from multimodal_trajectory_modeling_tpu import ops
 from multimodal_trajectory_modeling_tpu.ops.knn import (
     KNNRegressor,
     grid_search_knn,
@@ -24,7 +23,6 @@ from multimodal_trajectory_modeling_tpu.models.state_space_model import (
 )
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
-import jax.numpy as jnp
 
 
 def _fit_knn_block(inp, outp, k_grid, n_folds):

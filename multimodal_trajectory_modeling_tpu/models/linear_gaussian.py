@@ -10,10 +10,8 @@ from __future__ import annotations
 
 import pickle
 
-import jax.numpy as jnp
 import numpy as np
 
-from multimodal_trajectory_modeling_tpu import ops
 from multimodal_trajectory_modeling_tpu.models import statespace_api as ssapi
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,

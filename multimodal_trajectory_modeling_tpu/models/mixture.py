@@ -39,7 +39,6 @@ import string
 
 import jax
 import jax.numpy as jnp
-import matplotlib as mpl
 import matplotlib.pyplot as plt
 import numpy as np
 import scipy.stats as sp_stats

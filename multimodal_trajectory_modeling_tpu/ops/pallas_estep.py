@@ -25,9 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
 

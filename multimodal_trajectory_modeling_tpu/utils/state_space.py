@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import datetime
 import itertools
-import os
 import re
 import string
 

@@ -9,7 +9,6 @@ the A-vs-D initial contrast, and emtrends-style per-cluster time slopes
 with Tukey-adjusted pairwise contrasts.
 """
 
-import os
 import pathlib
 import sys
 

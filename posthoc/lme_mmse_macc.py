@@ -8,7 +8,6 @@ shipped)."""
 import pathlib
 import sys
 
-import numpy as np
 import pandas as pd
 
 whereami = pathlib.Path(__file__).absolute().parent

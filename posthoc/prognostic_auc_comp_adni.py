@@ -6,7 +6,6 @@ posthoc/prognostic_auc_comp_adni.R; reference headline: model index AUC
 
 import pathlib
 
-import numpy as np
 import pandas as pd
 import scipy.stats as sp_stats
 

@@ -8,7 +8,6 @@ Uses the in-repo Cox implementation (utils/survival.py) in place of
 lifelines, with the same fitter options and 10-fold seeded CV protocol.
 """
 
-import os
 import pathlib
 import sys
 

@@ -1,7 +1,6 @@
 """Dataset-adapter tests: ADNI (shipped data) and MACC (synthetic stand-in
 for the unshipped npz, exercising every code path)."""
 
-import os
 
 import numpy as np
 import pandas as pd

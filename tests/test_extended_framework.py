@@ -224,3 +224,28 @@ def test_classifier(lgdata):
     assert acc2 > 0.8
     probs = clr2.predict_proba()
     assert np.allclose(probs.sum(axis=1), 1.0)
+
+
+def test_parallel_restarts_match_sequential(tmp_path, monkeypatch):
+    """n_jobs>1 must reproduce the sequential restart protocol exactly
+    (same per-seed models, same strictly-greater winner)."""
+    import multimodal_trajectory_modeling_tpu.models.ssm_mixture as ssmm_mod
+
+    monkeypatch.setattr(ssmm_mod, "home_dir", str(tmp_path))
+    z, x, labels = _two_cluster_data(seed=9, n_data=80, n_timesteps=10)
+    seq = StateSpaceMixtureModel(
+        n_clusters=2,
+        data=(z, x),
+        component_model=StateSpaceLinearGaussian,
+        component_model_hyperparams={"alpha": 1.0},
+    ).fit(n_restarts=6, use_cache=False, n_jobs=1)
+    par = StateSpaceMixtureModel(
+        n_clusters=2,
+        data=(z, x),
+        component_model=StateSpaceLinearGaussian,
+        component_model_hyperparams={"alpha": 1.0},
+    ).fit(n_restarts=6, use_cache=False, n_jobs=3)
+    np.testing.assert_array_equal(
+        seq.cluster_assignment, par.cluster_assignment
+    )
+    np.testing.assert_allclose(seq.score(), par.score(), rtol=1e-12)

@@ -4,7 +4,6 @@ the reference's own self-test scenario (marginalizable_mixture_model.py:
 Highlander, alpha-regularized and 1-D variants."""
 
 import glob
-import os
 
 import numpy as np
 import jax

@@ -1,7 +1,6 @@
 """Native C data-path vs NumPy oracles (and the fallback path)."""
 
 import numpy as np
-import pytest
 
 from multimodal_trajectory_modeling_tpu import native
 

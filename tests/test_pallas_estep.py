@@ -2,7 +2,6 @@
 path (run in interpret mode on the CPU test mesh; compiled on real TPU)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from multimodal_trajectory_modeling_tpu import ops

@@ -2,7 +2,6 @@
 exactly (interpret mode on the CPU mesh; compiled on real TPU)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from multimodal_trajectory_modeling_tpu.models import em
