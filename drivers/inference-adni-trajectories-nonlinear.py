@@ -40,6 +40,7 @@ from multimodal_trajectory_modeling_tpu.utils import state_space as util
 alpha = 1.0
 n_cluster_list = [3, 4]
 n_restarts = int(os.environ.get("MTM_N_RESTARTS", "1000"))
+n_jobs = int(os.environ.get("MTM_N_JOBS", "1"))
 
 
 def main():
@@ -58,7 +59,7 @@ def main():
             data=(z, x),
             component_model=StateSpaceKNN,
             component_model_hyperparams={"n_neighbors": [5, 10, 15]},
-        ).fit(n_restarts=n_restarts)
+        ).fit(n_restarts=n_restarts, n_jobs=n_jobs)
         data.set_model_correspondence(best_mdl_knn, d)
         data.plot_2d_trajectories(
             best_mdl_knn,
@@ -83,7 +84,7 @@ def main():
                 "n_neighbors": [5, 10, 15],
                 "alpha": 1.0,
             },
-        ).fit(n_restarts=n_restarts)
+        ).fit(n_restarts=n_restarts, n_jobs=n_jobs)
         data.set_model_correspondence(best_mdl_hybrid, d)
         data.plot_2d_trajectories(
             best_mdl_hybrid,
