@@ -228,10 +228,16 @@ def mstep(
         from multimodal_trajectory_modeling_tpu.ops import pallas_mstep
 
         interpret = jax.devices()[0].platform != "tpu"
-        n = z.shape[1]
-        d, l = z.shape[-1], x.shape[-1]
+        T, n, d = z.shape
+        l = x.shape[-1]
         stats = pallas_mstep.mstep_stats_pallas(
-            z, x, assign, n_clusters=n_clusters, interpret=interpret
+            pack_joint(z, x),
+            assign,
+            T=T,
+            d=d,
+            l=l,
+            n_clusters=n_clusters,
+            interpret=interpret,
         )
         tstats, mstats, istats = pallas_mstep.unpack_mstep_stats(
             stats, d, l, n_clusters

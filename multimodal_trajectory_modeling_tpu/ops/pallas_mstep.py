@@ -3,18 +3,33 @@
 The M step reduces masked, cluster-weighted outer-product statistics over
 the whole batch (transition pairs, measurement pairs, initial moments).
 The XLA einsum path reads the batch several times and materializes masked
-copies; this kernel streams each (z, x, assign) tile through VMEM once.
+copies; this kernel streams each tile of the *packed* batch through VMEM
+once.
+
+Input layout: the packed joint matrix ``v (n, D)`` with
+``D = T·d + T·l`` and per-instance rows ``[z_1..z_T, x_1..x_T]`` — the same
+array the E step consumes, so the kernel adds no HBM footprint.  (A
+``(T, n, d)`` layout would lane-pad the tiny trailing dims 25-40× and blow
+VMEM; packing puts the full D on the lane axis.)
 
 Formulation: for each time step build the augmented row matrix
 ``U_t = [in_t, out_t, 1]`` and the masked Khatri–Rao weight block
 ``B_t = [w_1⊙U_t | … | w_C⊙U_t]`` (w_c = one-hot membership × validity);
-then ``S += U_tᵀ B_t`` is ONE MXU GEMM per time step whose (C·u × u) output
+then ``S += U_tᵀ B_t`` is ONE MXU GEMM per time step whose (u × C·u) output
 contains every statistic at once — X^TX, X^TY, Y^TY, ΣX, ΣY and the pair
-count per cluster.  Bandwidth-bound by a single read of the batch.
+count per cluster.
 
 Host-side :func:`unpack_mstep_stats` splits the three accumulated matrices
 (transitions, measurements, initial moments) into
 :class:`~..ops.regression.RegressionStats` / ``MomentStats``.
+
+Status (measured on one v5e chip, n=1e6, T=10, d=5, l=3, C=16): correct
+(exact in f64 interpret mode; ~3e-4 relative in f32) but **slower than the
+XLA einsum M-step** — 166 ms vs 93 ms — because the (block, u≈11)
+per-cluster temporaries lane-pad to 128 and the unrolled T×C loop defeats
+buffer reuse (needs vmem_limit_bytes=100M even at block 512).  Kept as the
+template for a future revision (wider fused U blocks / fori_loop over t);
+``em.mstep`` defaults to ``impl="xla"``.
 """
 
 from __future__ import annotations
@@ -24,6 +39,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_trajectory_modeling_tpu.ops import regression as rops
 
@@ -35,12 +51,19 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
     u_m = d + l + 1  # [z_t, x_t, 1]
     u_i = d + 1  # [z_0, 1]
 
-    def kernel(z_ref, x_ref, assign_ref, t_out, m_out, i_out):
+    def kernel(v_ref, assign_ref, t_out, m_out, i_out):
         Bn = assign_ref.shape[0]
-        dtype = z_ref.dtype
+        dtype = v_ref.dtype
         ones = jnp.ones((Bn, 1), dtype)
         cl = jax.lax.broadcasted_iota(jnp.int32, (Bn, C), 1)
         W = (assign_ref[:, :] == cl).astype(dtype)  # (Bn, C)
+
+        def z_at(t):
+            return v_ref[:, t * d : (t + 1) * d]
+
+        def x_at(t):
+            off = T * d
+            return v_ref[:, off + t * l : off + (t + 1) * l]
 
         def khatri_gemm(U, w_valid):
             # B = [ (W_c ⊙ valid) * U ]_c  → (Bn, C*u);  S = Uᵀ B
@@ -49,33 +72,26 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
             B = jnp.concatenate(blocks, axis=1)
             return jnp.dot(U.T, B, preferred_element_type=dtype)
 
+        def masked_pair(a_raw, b_raw):
+            ok = (
+                jnp.isfinite(a_raw).all(axis=1)
+                & jnp.isfinite(b_raw).all(axis=1)
+            ).astype(dtype)[:, None]
+            a = jnp.where(jnp.isfinite(a_raw), a_raw, 0.0)
+            b = jnp.where(jnp.isfinite(b_raw), b_raw, 0.0)
+            return jnp.concatenate([a, b, ones], axis=1), ok
+
         acc_t = jnp.zeros((u_t, C * u_t), dtype)
         for t in range(T - 1):
-            zp_raw = z_ref[t, :, :]
-            zn_raw = z_ref[t + 1, :, :]
-            ok = (
-                jnp.isfinite(zp_raw).all(axis=1)
-                & jnp.isfinite(zn_raw).all(axis=1)
-            ).astype(dtype)[:, None]
-            zp = jnp.where(jnp.isfinite(zp_raw), zp_raw, 0.0)
-            zn = jnp.where(jnp.isfinite(zn_raw), zn_raw, 0.0)
-            U = jnp.concatenate([zp, zn, ones], axis=1)
+            U, ok = masked_pair(z_at(t), z_at(t + 1))
             acc_t = acc_t + khatri_gemm(U, ok)
 
         acc_m = jnp.zeros((u_m, C * u_m), dtype)
         for t in range(T):
-            z_raw = z_ref[t, :, :]
-            x_raw = x_ref[t, :, :]
-            ok = (
-                jnp.isfinite(z_raw).all(axis=1)
-                & jnp.isfinite(x_raw).all(axis=1)
-            ).astype(dtype)[:, None]
-            zz = jnp.where(jnp.isfinite(z_raw), z_raw, 0.0)
-            xx = jnp.where(jnp.isfinite(x_raw), x_raw, 0.0)
-            U = jnp.concatenate([zz, xx, ones], axis=1)
+            U, ok = masked_pair(z_at(t), x_at(t))
             acc_m = acc_m + khatri_gemm(U, ok)
 
-        z0_raw = z_ref[0, :, :]
+        z0_raw = z_at(0)
         ok0 = jnp.isfinite(z0_raw).all(axis=1).astype(dtype)[:, None]
         z0 = jnp.where(jnp.isfinite(z0_raw), z0_raw, 0.0)
         U0 = jnp.concatenate([z0, ones], axis=1)
@@ -95,43 +111,42 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_clusters", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("T", "d", "l", "n_clusters", "block_n", "interpret"),
 )
 def mstep_stats_pallas(
-    z: jax.Array,  # (T, n, d)
-    x: jax.Array,  # (T, n, l)
+    v: jax.Array,  # (n, T*(d+l)) packed joint layout
     assign: jax.Array,  # (n,) int32
     *,
+    T: int,
+    d: int,
+    l: int,
     n_clusters: int,
-    block_n: int = 2048,
+    block_n: int = 512,
     interpret: bool = False,
 ):
-    """Fused sufficient statistics: returns (S_trans (u_t, C·u_t),
-    S_meas (u_m, C·u_m), S_init (u_i, C·u_i))."""
-    T, n, d = z.shape
-    l = x.shape[-1]
+    """Fused sufficient statistics from the packed batch: returns
+    (S_trans (u_t, C·u_t), S_meas (u_m, C·u_m), S_init (u_i, C·u_i))."""
+    n, D = v.shape
+    assert D == T * (d + l)
     C = n_clusters
     pad = (-n) % block_n
     if pad:
         # padded rows: NaN data (masked from every stat) + cluster id C
         # (outside every one-hot column)
-        z = jnp.concatenate(
-            [z, jnp.full((T, pad, d), jnp.nan, z.dtype)], axis=1
-        )
-        x = jnp.concatenate(
-            [x, jnp.full((T, pad, l), jnp.nan, x.dtype)], axis=1
+        v = jnp.concatenate(
+            [v, jnp.full((pad, D), jnp.nan, v.dtype)], axis=0
         )
         assign = jnp.concatenate(
             [assign, jnp.full((pad,), C, assign.dtype)]
         )
-    n_pad = z.shape[1]
+    n_pad = v.shape[0]
     kernel, (u_t, u_m, u_i) = _mstep_kernel(T, d, l, C)
     return pl.pallas_call(
         kernel,
         grid=(n_pad // block_n,),
         in_specs=[
-            pl.BlockSpec((T, block_n, d), lambda i: (0, i, 0)),
-            pl.BlockSpec((T, block_n, l), lambda i: (0, i, 0)),
+            pl.BlockSpec((block_n, D), lambda i: (i, 0)),
             pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
         ],
         out_specs=(
@@ -140,17 +155,24 @@ def mstep_stats_pallas(
             pl.BlockSpec((u_i, C * u_i), lambda i: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((u_t, C * u_t), z.dtype),
-            jax.ShapeDtypeStruct((u_m, C * u_m), z.dtype),
-            jax.ShapeDtypeStruct((u_i, C * u_i), z.dtype),
+            jax.ShapeDtypeStruct((u_t, C * u_t), v.dtype),
+            jax.ShapeDtypeStruct((u_m, C * u_m), v.dtype),
+            jax.ShapeDtypeStruct((u_i, C * u_i), v.dtype),
         ),
         interpret=interpret,
-    )(z, x, assign.astype(jnp.int32).reshape(n_pad, 1))
+        # the unrolled T×C Khatri-Rao temporaries exceed the default 16M
+        # scoped-vmem cap; the chip has 128M
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
+    )(v, assign.astype(jnp.int32).reshape(n_pad, 1))
 
 
 def unpack_mstep_stats(stats, d: int, l: int, n_clusters: int):
     """Split the fused Gram matrices into (trans RegressionStats,
-    meas RegressionStats, init MomentStats, membership pair-counts)."""
+    meas RegressionStats, init MomentStats)."""
     S_t, S_m, S_i = stats
     C = n_clusters
     u_t, u_m, u_i = 2 * d + 1, d + l + 1, d + 1
