@@ -116,19 +116,31 @@ def bench_tpu(z, x, v, patterns, pid):
     # (b) one fused E+M step compiles in seconds while a fori_loop of 10
     # steps takes minutes through the remote compiler — so we compile the
     # single step and chain it from the host (dispatch ≪ step time).
-    @jax.jit
-    def em_step(params, zj, xj, vj, pj, pidj):
-        ll = em.estep_logliks(params, vj, pj, pidj, T=T, method="pallas")
-        assign = em.assignments_from_logliks(params.pi, ll)
-        return em.mstep(zj, xj, assign, n_clusters=C)
+    # Missingness patterns are fixed across EM iterations, so sort the batch
+    # by pattern id ONCE: each E-step block then evaluates only its own
+    # pattern's C quadratic forms (P-fold less MXU work).  M-step sufficient
+    # statistics are permutation-invariant sums, so z/x sorted consistently
+    # need never be unsorted.
+    pid_np = np.asarray(pid)
+    order = jnp.asarray(np.argsort(pid_np, kind="stable"))
+    sizes = tuple(
+        int(s) for s in np.bincount(pid_np, minlength=patterns.shape[0])
+    )
+    z, x, v = z[:, order], x[:, order], v[order]
 
-    params = em_step(params0, z, x, v, patterns, pid)
+    @functools.partial(jax.jit, static_argnames=("sizes",))
+    def em_step(params, zj, xj, vj, pj, sizes):
+        ll = em.estep_logliks_sorted(params, vj, pj, sizes=sizes, T=T)
+        assign = em.assignments_from_logliks(params.pi, ll)
+        return em.mstep(zj, xj, assign, n_clusters=C, impl="pallas")
+
+    params = em_step(params0, z, x, v, patterns, sizes=sizes)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
-        params = em_step(params, z, x, v, patterns, pid)
+        params = em_step(params, z, x, v, patterns, sizes=sizes)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"

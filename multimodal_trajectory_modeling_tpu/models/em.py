@@ -176,6 +176,34 @@ def estep_logliks(
     )(means, covs)
 
 
+def estep_logliks_sorted(
+    params: MixtureParams,
+    v_sorted: jax.Array,
+    patterns: jax.Array,
+    *,
+    sizes: tuple,
+    T: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """``(C, n)`` log-likelihoods for a batch whose rows are pre-sorted by
+    pattern id, via the single-pattern-per-segment fused kernel
+    (ops/pallas_estep.py:estep_logliks_pattern_sorted).  ``sizes`` is the
+    static tuple of per-pattern row counts.  Same values as
+    :func:`estep_logliks`, permuted — patterns are fixed across EM
+    iterations, so callers sort once outside the loop (see bench.py)."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_estep
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    means, covs = cluster_joint_moments(params, T)
+    minv, const = pallas_estep.precompute_cluster_pattern_inverses(
+        means, covs, patterns
+    )
+    return pallas_estep.estep_logliks_pattern_sorted(
+        v_sorted, means, minv, const, sizes=sizes, interpret=interpret
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("T", "method"))
 def observed_logliks(
     params: MixtureParams,
@@ -222,7 +250,10 @@ def mstep(
 
     ``impl="pallas"`` streams the batch once through the fused
     sufficient-statistics kernel (ops/pallas_mstep.py); ``impl="xla"`` uses
-    time-batched einsums.  Identical results.
+    time-batched einsums; ``impl="gram"`` fuses each stat group into a
+    single Gram-matrix einsum (fastest XLA path on TPU — see
+    ops/regression.py:weighted_regression_stats_gram; equal to "xla" up to
+    f32 reassociation).  Identical results in f64.
     """
     if impl == "pallas":
         from multimodal_trajectory_modeling_tpu.ops import pallas_mstep
@@ -250,17 +281,22 @@ def mstep(
 
     dtype = z.dtype
     W = jax.nn.one_hot(assign, n_clusters, dtype=dtype)  # (n, C)
+    stats_fn = (
+        rops.weighted_regression_stats_gram
+        if impl == "gram"
+        else rops.weighted_regression_stats_timebatched
+    )
 
     pi = jnp.mean(W, axis=0)
     m0, S0 = rops.masked_mean_and_cov(z[0], W)
 
     # transitions: all (z_t, z_{t+1}) pairs, any-NaN rows dropped per pair;
     # time axis contracted inside the einsums (no (T·n, C) weight tile)
-    tstats = rops.weighted_regression_stats_timebatched(z[:-1], z[1:], W)
+    tstats = stats_fn(z[:-1], z[1:], W)
     A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
 
     # measurements: all (z_t, x_t) pairs over every time step
-    mstats = rops.weighted_regression_stats_timebatched(z, x, W)
+    mstats = stats_fn(z, x, W)
     H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
 
     return MixtureParams(pi, m0, S0, A, G, H, L)

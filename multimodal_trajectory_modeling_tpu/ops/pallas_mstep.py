@@ -14,22 +14,23 @@ VMEM; packing puts the full D on the lane axis.)
 
 Formulation: for each time step build the augmented row matrix
 ``U_t = [in_t, out_t, 1]`` and the masked Khatri–Rao weight block
-``B_t = [w_1⊙U_t | … | w_C⊙U_t]`` (w_c = one-hot membership × validity);
-then ``S += U_tᵀ B_t`` is ONE MXU GEMM per time step whose (u × C·u) output
-contains every statistic at once — X^TX, X^TY, Y^TY, ΣX, ΣY and the pair
-count per cluster.
+``B_t[i, c·u+j] = w_ic · U_t[i, j]`` (w_c = one-hot membership ×
+validity); then ``S += U_tᵀ B_t`` is ONE MXU GEMM per time step whose
+(u × C·u) output contains every statistic at once — X^TX, X^TY, Y^TY,
+ΣX, ΣY and the pair count per cluster.
+
+``B_t`` is built *wide*: ``B = W_exp ⊙ (U @ F)`` where
+``W_exp[i, k] = (assign_i == k//u)`` is a VPU compare against a lane iota
+and ``F[j, k] = (k%u == j)`` is a constant 0/1 tiling matrix, so ``U @ F``
+replicates ``U`` C times in one MXU GEMM.  An earlier revision instead
+concatenated C per-cluster ``(block, u)`` slices — each lane-padded
+u→128 — which blew scoped VMEM (needed a 100 MB override at block 512)
+and ran 166 ms at n=1e6; this formulation never materializes anything
+narrower than C·u lanes and unrolls T, not T×C.
 
 Host-side :func:`unpack_mstep_stats` splits the three accumulated matrices
 (transitions, measurements, initial moments) into
 :class:`~..ops.regression.RegressionStats` / ``MomentStats``.
-
-Status (measured on one v5e chip, n=1e6, T=10, d=5, l=3, C=16): correct
-(exact in f64 interpret mode; ~3e-4 relative in f32) but **slower than the
-XLA einsum M-step** — 166 ms vs 93 ms — because the (block, u≈11)
-per-cluster temporaries lane-pad to 128 and the unrolled T×C loop defeats
-buffer reuse (needs vmem_limit_bytes=100M even at block 512).  Kept as the
-template for a future revision (wider fused U blocks / fori_loop over t);
-``em.mstep`` defaults to ``impl="xla"``.
 """
 
 from __future__ import annotations
@@ -55,8 +56,7 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
         Bn = assign_ref.shape[0]
         dtype = v_ref.dtype
         ones = jnp.ones((Bn, 1), dtype)
-        cl = jax.lax.broadcasted_iota(jnp.int32, (Bn, C), 1)
-        W = (assign_ref[:, :] == cl).astype(dtype)  # (Bn, C)
+        a = assign_ref[:, :]  # (Bn, 1) int32; padded rows carry C
 
         def z_at(t):
             return v_ref[:, t * d : (t + 1) * d]
@@ -66,10 +66,17 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
             return v_ref[:, off + t * l : off + (t + 1) * l]
 
         def khatri_gemm(U, w_valid):
-            # B = [ (W_c ⊙ valid) * U ]_c  → (Bn, C*u);  S = Uᵀ B
-            Wv = W * w_valid  # (Bn, C)
-            blocks = [Wv[:, c : c + 1] * U for c in range(C)]
-            B = jnp.concatenate(blocks, axis=1)
+            # B[i, c*u+j] = (a_i == c) * valid_i * U[i, j];  S = Uᵀ B.
+            # Wide construction: one lane-iota compare + one tiling GEMM —
+            # nothing narrower than C·u lanes is ever materialized.
+            u = U.shape[1]
+            K = C * u
+            kc = jax.lax.broadcasted_iota(jnp.int32, (Bn, K), 1) // u
+            W_exp = (a == kc).astype(dtype) * w_valid  # (Bn, K)
+            km = jax.lax.broadcasted_iota(jnp.int32, (u, K), 1) % u
+            jr = jax.lax.broadcasted_iota(jnp.int32, (u, K), 0)
+            F = (km == jr).astype(dtype)  # (u, K): tile(I_u, C)
+            B = W_exp * jnp.dot(U, F, preferred_element_type=dtype)
             return jnp.dot(U.T, B, preferred_element_type=dtype)
 
         def masked_pair(a_raw, b_raw):
@@ -122,7 +129,7 @@ def mstep_stats_pallas(
     d: int,
     l: int,
     n_clusters: int,
-    block_n: int = 512,
+    block_n: int = 1024,
     interpret: bool = False,
 ):
     """Fused sufficient statistics from the packed batch: returns
@@ -160,12 +167,13 @@ def mstep_stats_pallas(
             jax.ShapeDtypeStruct((u_i, C * u_i), v.dtype),
         ),
         interpret=interpret,
-        # the unrolled T×C Khatri-Rao temporaries exceed the default 16M
-        # scoped-vmem cap; the chip has 128M
+        # wide-B temporaries are (block, C·u) — a few MB at block 1024,
+        # but T-step double buffering still wants headroom over the 16M
+        # default scoped-vmem cap
         compiler_params=(
             None
             if interpret
-            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         ),
     )(v, assign.astype(jnp.int32).reshape(n_pad, 1))
 

@@ -98,3 +98,61 @@ def test_masked_mean_and_cov_matches_numpy():
         np.testing.assert_allclose(
             np.asarray(cov[c]), np.cov(Zc, rowvar=False), rtol=1e-9, atol=1e-10
         )
+
+
+def test_gram_stats_match_timebatched():
+    """impl="gram" (single fused Gram einsum) must reproduce the six-einsum
+    time-batched statistics exactly in f64, NaNs included."""
+    from multimodal_trajectory_modeling_tpu.ops import regression as rops
+
+    rng = np.random.default_rng(5)
+    Tp, n, p, q, C = 4, 200, 3, 2, 3
+    X = rng.normal(size=(Tp, n, p))
+    Y = rng.normal(size=(Tp, n, q))
+    X[rng.random(size=X.shape) < 0.1] = np.nan
+    Y[rng.random(size=Y.shape) < 0.1] = np.nan
+    assign = rng.integers(0, C, size=n)
+    W = jnp.asarray(np.eye(C)[assign])
+    a = rops.weighted_regression_stats_timebatched(
+        jnp.asarray(X), jnp.asarray(Y), W
+    )
+    b = rops.weighted_regression_stats_gram(jnp.asarray(X), jnp.asarray(Y), W)
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_mstep_gram_impl_matches_xla():
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(6)
+    T, n, d, l, C = 5, 150, 3, 2, 2
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    lens = rng.choice([3, 5], size=n)
+    tmask = np.arange(T)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    assign = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    pa = em.mstep(jnp.asarray(z), jnp.asarray(x), assign, n_clusters=C)
+    pb = em.mstep(
+        jnp.asarray(z), jnp.asarray(x), assign, n_clusters=C, impl="gram"
+    )
+    for fa, fb in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_chol_mode_matches_eps():
+    """mode="chol" solves the same eps-ridged normal equations as
+    mode="eps" (fast Cholesky instead of eigh-pinv)."""
+    rng = np.random.default_rng(7)
+    X, Y = _data(rng, N=400)
+    W = jnp.ones((400, 1))
+    stats = ops.weighted_regression_stats(jnp.asarray(X), jnp.asarray(Y), W)
+    A1, S1 = ops.solve_regression(stats, mode="eps")
+    A2, S2 = ops.solve_regression(stats, mode="chol")
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-9, atol=1e-10)

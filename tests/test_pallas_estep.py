@@ -73,3 +73,28 @@ def test_fused_kernel_ragged_tail():
     )
     assert got.shape == want.shape == (3, 333)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pattern_sorted_matches_unsorted():
+    """The pattern-sorted kernel must equal the per-row-select kernel after
+    applying the sort permutation (ragged segment tails included)."""
+    v, patterns, pid, means, covs = _problem(seed=2, n=415)
+    order = np.argsort(np.asarray(pid), kind="stable")
+    v_s = v[order]
+    sizes = tuple(
+        int(c) for c in np.bincount(np.asarray(pid), minlength=patterns.shape[0])
+    )
+    minv, const = pallas_estep.precompute_cluster_pattern_inverses(
+        means, covs, patterns
+    )
+    got = np.asarray(
+        pallas_estep.estep_logliks_pattern_sorted(
+            v_s, means, minv, const, sizes=sizes, block_n=128, interpret=True
+        )
+    )
+    want = np.asarray(
+        pallas_estep.estep_logliks_fused(
+            means, covs, v, patterns, pid, block_n=128
+        )
+    )[:, order]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
