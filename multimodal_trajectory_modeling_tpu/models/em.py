@@ -425,6 +425,99 @@ def train_em(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "sizes",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+    ),
+)
+def train_em_sorted(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,
+    x: jax.Array,
+    v: jax.Array,
+    patterns: jax.Array,
+    *,
+    sizes: tuple,
+    n_steps: int = 1000,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """:func:`train_em` over a batch PRE-SORTED by missingness pattern —
+    the production TPU path: single-pattern fused E-step segments
+    (ops/pallas_estep.py) + the wide Khatri–Rao M-step kernel
+    (ops/pallas_mstep.py), ~2.5× :func:`train_em` per iteration at n=1e6
+    on one v5e chip.
+
+    ``z/x/v`` rows must all carry the same pattern-ascending permutation
+    (``np.argsort(pattern_id, kind="stable")``) and ``sizes`` its static
+    per-pattern counts; the returned assignment is in sorted order — apply
+    the inverse permutation to recover input order.  In f64 the training
+    trajectory is bit-identical to :func:`train_em` (per-row arithmetic
+    and sufficient statistics are permutation-exact); in f32 results agree
+    to reassociation noise.
+    """
+    T = z.shape[0]
+    C = params0.pi.shape[0]
+    assign0 = assign0.astype(jnp.int32)
+
+    counts0 = jnp.bincount(assign0, length=C)
+    init_abort = jnp.min(counts0) <= min_members
+
+    params_m = mstep(
+        z,
+        x,
+        assign0,
+        n_clusters=C,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        impl="pallas",
+    )
+    params_start = _tree_select(init_abort, params0, params_m)
+    status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+    def cond(state):
+        _, _, i, status = state
+        return (status == STATUS_RUNNING) & (i < n_steps)
+
+    def body(state):
+        params, assign, i, status = state
+        ll = estep_logliks_sorted(params, v, patterns, sizes=sizes, T=T)
+        new_assign = assignments_from_logliks(params.pi, ll)
+        switches = jnp.sum(new_assign != assign)
+        counts = jnp.bincount(new_assign, length=C)
+        converged = switches == 0
+        empty = (~converged) & (jnp.min(counts) <= min_members)
+        run_m = (~converged) & (~empty)
+        new_params = mstep(
+            z,
+            x,
+            new_assign,
+            n_clusters=C,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            impl="pallas",
+        )
+        params_out = _tree_select(run_m, new_params, params)
+        status_out = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
+        )
+        return (params_out, new_assign, i + 1, status_out)
+
+    params_f, assign_f, iters, status = jax.lax.while_loop(
+        cond, body, (params_start, assign0, jnp.int32(0), status0)
+    )
+    return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_steps", "reg_mode", "alpha", "method", "min_members"),
 )
 def train_em_multistart(

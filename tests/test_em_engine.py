@@ -180,3 +180,45 @@ def test_model_loglik_matches_direct_sum():
     want = np.sum(np.log(np.sum(pi[:, None] * np.exp(ll), axis=0)))
     got = float(em.model_loglik(params, v, patterns, pid, T=T))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_train_em_sorted_matches_train_em():
+    """The pattern-sorted production path must reproduce train_em exactly
+    in f64: same statuses, same assignments (modulo the sort permutation),
+    same parameters."""
+    z, x, labels, true = _make_mixture_data(seed=3, n=400, T=6)
+    rng = np.random.default_rng(2)
+    lens = rng.choice([3, 5, 6], size=400)
+    tmask = np.arange(6)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    v, patterns, pid = _packed(z, x)
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(rng.integers(0, C, size=400), jnp.int32)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), v, patterns, pid,
+        n_steps=50,
+    )
+
+    pid_np = np.asarray(pid)
+    order = np.argsort(pid_np, kind="stable")
+    sizes = tuple(int(s) for s in np.bincount(pid_np, minlength=patterns.shape[0]))
+    p_s, a_s, it_s, st_s = em.train_em_sorted(
+        params0,
+        assign0[order],
+        jnp.asarray(z[:, order]),
+        jnp.asarray(x[:, order]),
+        v[jnp.asarray(order)],
+        patterns,
+        sizes=sizes,
+        n_steps=50,
+    )
+    assert int(st_ref) == int(st_s)
+    assert int(it_ref) == int(it_s)
+    np.testing.assert_array_equal(np.asarray(a_ref)[order], np.asarray(a_s))
+    for fa, fb in zip(p_ref, p_s):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
