@@ -657,29 +657,63 @@ class MMLinGaussSS_marginalizable:
         )
         self._set_params(params)
 
-    def train(self, *, verbose: bool = False, n_steps: int = 1000):
+    def train(
+        self, *, verbose: bool = False, n_steps: int = 1000, fast: bool = False
+    ):
         """EM to convergence (0 switches) or ``n_steps``, with the
         near-empty-cluster guards (reference mixture:1310-1366).
 
         The whole loop runs jitted on-device; with ``verbose`` the loop is
         stepped from the host instead, printing the rounded objective after
         every M step exactly like the reference and recording an
-        :class:`~..utils.trace.EMTrace` in ``self.last_trace``."""
+        :class:`~..utils.trace.EMTrace` in ``self.last_trace``.
+
+        ``fast=True`` routes through :func:`em.train_em_sorted` — the
+        pattern-sorted fused-kernel production path (~2.5× per iteration on
+        TPU at large n; f64-identical, f32 up to reassociation).  The sort
+        permutation is applied and inverted internally; leave ``False`` for
+        bit-level reference parity on the CPU-x64 path.  ``verbose=True``
+        takes the host-stepped loop and ignores ``fast``."""
         if verbose:
             return self._train_verbose(n_steps=n_steps)
         _T0, z, x, v, patterns, pid = self._packed(None, None)
-        params, assign, iters, status = em.train_em(
-            self._stacked_params(),
-            jnp.asarray(self.cluster_assignment),
-            z,
-            x,
-            v,
-            patterns,
-            pid,
-            n_steps=n_steps,
-            reg_mode="ridge" if self.alpha > 2 * np_eps else "lstsq",
-            alpha=float(self.alpha),
-        )
+        reg_mode = "ridge" if self.alpha > 2 * np_eps else "lstsq"
+        if fast:
+            pid_np = np.asarray(pid)
+            order = np.argsort(pid_np, kind="stable")
+            sizes = tuple(
+                int(s)
+                for s in np.bincount(pid_np, minlength=patterns.shape[0])
+            )
+            oj = jnp.asarray(order)
+            params, assign_s, iters, status = em.train_em_sorted(
+                self._stacked_params(),
+                jnp.asarray(self.cluster_assignment)[oj],
+                z[:, oj],
+                x[:, oj],
+                v[oj],
+                patterns,
+                sizes=sizes,
+                n_steps=n_steps,
+                reg_mode=reg_mode,
+                alpha=float(self.alpha),
+            )
+            assign = np.empty_like(np.asarray(assign_s))
+            assign[order] = np.asarray(assign_s)  # invert the sort
+            assign = jnp.asarray(assign)
+        else:
+            params, assign, iters, status = em.train_em(
+                self._stacked_params(),
+                jnp.asarray(self.cluster_assignment),
+                z,
+                x,
+                v,
+                patterns,
+                pid,
+                n_steps=n_steps,
+                reg_mode=reg_mode,
+                alpha=float(self.alpha),
+            )
         status = int(status)
         if status == em.STATUS_INIT_ABORT:
             # reference returns before stamping last_trained (mixture:1328-1336)

@@ -274,3 +274,33 @@ def test_rng_replication_of_constructor():
         np.testing.assert_array_equal(pa, pb)
     np.testing.assert_array_equal(a.cluster_assignment, b.cluster_assignment)
     assert a.hex_hash == b.hex_hash
+
+
+def test_train_fast_matches_default(synth):
+    """train(fast=True) — the pattern-sorted fused-kernel path — must equal
+    train() exactly in f64, including the unsort of assignments."""
+    rng = np.random.default_rng(9)
+    z = synth["z"].copy()
+    x = synth["x"].copy()
+    T, n = z.shape[:2]
+    lens = rng.choice([T // 2, T - 3, T], size=n)
+    tmask = np.arange(T)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+
+    a = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=5, init="random"
+    ).train(n_steps=40)
+    b = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=5, init="random"
+    ).train(n_steps=40, fast=True)
+    np.testing.assert_array_equal(a.cluster_assignment, b.cluster_assignment)
+    np.testing.assert_allclose(
+        a.transition_matrices, b.transition_matrices, rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        a.measurement_matrices, b.measurement_matrices, rtol=1e-9, atol=1e-10
+    )
+    assert np.isclose(
+        a.e_complete_data_log_lik(), b.e_complete_data_log_lik()
+    )
