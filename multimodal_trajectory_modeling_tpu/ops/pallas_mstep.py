@@ -26,7 +26,9 @@ replicates ``U`` C times in one MXU GEMM.  An earlier revision instead
 concatenated C per-cluster ``(block, u)`` slices — each lane-padded
 u→128 — which blew scoped VMEM (needed a 100 MB override at block 512)
 and ran 166 ms at n=1e6; this formulation never materializes anything
-narrower than C·u lanes and unrolls T, not T×C.
+narrower than C·u lanes and unrolls T, not T×C.  Measured on one v5e
+chip at n=1e6, T=10, d=5, l=3, C=16: 24 ms (vs 88 ms for the XLA
+einsum path); exact in f64 interpret mode, f32 at reassociation noise.
 
 Host-side :func:`unpack_mstep_stats` splits the three accumulated matrices
 (transitions, measurements, initial moments) into
