@@ -37,6 +37,7 @@ __all__ = [
     "train_em_data_parallel",
     "train_em_shardmap",
     "train_em_multistart_sharded",
+    "train_em_multistart_2d",
 ]
 
 
@@ -148,12 +149,50 @@ def train_em_shardmap(
     T = z.shape[0]
     axis = "data"
 
+    shard_fn = _make_shard_em_loop(
+        C=C,
+        T=T,
+        axis=axis,
+        n_steps=n_steps,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        method=method,
+        min_members=min_members,
+    )
+
+    shard_map = jax.shard_map
+
+    param_spec = jax.tree.map(lambda _: P(), params0)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis, None),
+            P(None, None),
+            P(axis),
+        ),
+        out_specs=(param_spec, P(axis), P(), P()),
+        check_vma=False,
+    )(params0, assign0, z, x, v, patterns, pattern_id)
+
+
+def _make_shard_em_loop(
+    *, C, T, axis, n_steps, reg_mode, alpha, method, min_members
+):
+    """Build the shard-local EM while-loop.  All cross-device reductions
+    are ``psum`` over the named ``axis`` (the data axis of the mesh); the
+    returned function is also vmappable over a leading restart axis, which
+    is how the 2-D restart x data mesh reuses it."""
+
     def psum_tree(t):
         return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
 
     def local_mstep_stats(z_l, x_l, assign_l):
         dtype = z_l.dtype
-        n_l = z_l.shape[1]
         W = jax.nn.one_hot(assign_l, C, dtype=dtype)
         counts = jnp.sum(W, axis=0)
         init_stats = rops.masked_moment_stats(z_l[0], W)
@@ -233,21 +272,110 @@ def train_em_shardmap(
         )
         return params_f, assign_f, iters, status
 
-    shard_map = jax.shard_map
+    return shard_fn
 
-    param_spec = jax.tree.map(lambda _: P(), params0)
-    return shard_map(
-        shard_fn,
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_restarts",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "method",
+        "min_members",
+        "seed",
+    ),
+)
+def train_em_multistart_2d(
+    params0,
+    assign0,
+    z,
+    x,
+    v,
+    patterns,
+    pattern_id,
+    *,
+    mesh: Mesh,
+    n_restarts: int | None = None,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    method: str = "solve",
+    min_members: int = 3,
+    seed: int = 0,
+):
+    """Multistart EM on a 2-D ``(restart, data)`` mesh.
+
+    Each row of the mesh owns one slice of the restart batch and runs the
+    full data-parallel EM loop over its row's ``data`` axis — psums ride
+    the fast axis inside a row, and the ``restart`` axis carries ZERO
+    communication (the embarrassingly-parallel multistart axis of the
+    reference protocol, marginalizable_mixture_model.py:1368-1471).  This
+    is the single-controller layout for multi-slice deployments: map
+    ``data`` onto ICI within a slice and ``restart`` onto DCN across
+    slices, so the per-iteration reductions never cross the slow network.
+
+    ``assign0`` may be stacked ``(R, n)`` (one initial hard assignment per
+    restart — bit-compatible with running :func:`train_em_shardmap` per
+    row) or ``(n,)``, in which case R-1 extra restarts are drawn uniformly
+    from ``seed`` as in the reference's random-initialization protocol.
+
+    Returns stacked per-restart ``(params, assign, iters, status)``; the
+    host-side winner rule (first strictly greater objective) is applied by
+    the caller exactly as in the 1-D multistart path.
+    """
+    C = params0.pi.shape[0]
+    T = z.shape[0]
+
+    if assign0.ndim == 1:
+        if n_restarts is None:
+            raise ValueError("n_restarts required when assign0 is 1-D")
+        n = assign0.shape[0]
+        keys = jax.random.split(jax.random.key(seed), n_restarts - 1)
+        extra = jax.vmap(
+            lambda k: jax.random.randint(k, (n,), 0, C, dtype=jnp.int32)
+        )(keys)
+        assign0 = jnp.concatenate(
+            [assign0[None].astype(jnp.int32), extra], axis=0
+        )
+    R = assign0.shape[0]
+    params_stacked = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (R,) + a.shape), params0
+    )
+
+    shard_fn = _make_shard_em_loop(
+        C=C,
+        T=T,
+        axis="data",
+        n_steps=n_steps,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        method=method,
+        min_members=min_members,
+    )
+
+    def shard_fn_2d(params_l, assign_l, z_l, x_l, v_l, patterns_r, pid_l):
+        # vmap over this device's local slice of the restart batch; all
+        # psums inside resolve against the "data" mesh axis only.
+        return jax.vmap(
+            lambda p, a: shard_fn(p, a, z_l, x_l, v_l, patterns_r, pid_l)
+        )(params_l, assign_l)
+
+    param_spec_r = jax.tree.map(lambda _: P("restart"), params_stacked)
+    return jax.shard_map(
+        shard_fn_2d,
         mesh=mesh,
         in_specs=(
-            param_spec,
-            P(axis),
-            P(None, axis, None),
-            P(None, axis, None),
-            P(axis, None),
+            param_spec_r,
+            P("restart", "data"),
+            P(None, "data", None),
+            P(None, "data", None),
+            P("data", None),
             P(None, None),
-            P(axis),
+            P("data"),
         ),
-        out_specs=(param_spec, P(axis), P(), P()),
+        out_specs=(param_spec_r, P("restart", "data"), P("restart"), P("restart")),
         check_vma=False,
-    )(params0, assign0, z, x, v, patterns, pattern_id)
+    )(params_stacked, assign0, z, x, v, patterns, pattern_id)

@@ -124,6 +124,96 @@ def test_shardmap_matches_single_device(problem):
         )
 
 
+def test_multistart_2d_mesh_matches_1d_shardmap(problem):
+    """Each restart row of a 2-D (restart, data) mesh must reproduce the
+    1-D data-parallel shard_map result bit-for-bit."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(21)
+    R = 2
+    C = 3
+    n = problem["assign0"].shape[0]
+    assigns = jnp.asarray(
+        np.stack(
+            [np.asarray(problem["assign0"])]
+            + [rng.integers(0, C, size=n) for _ in range(R - 1)]
+        ),
+        jnp.int32,
+    )
+
+    devs = np.asarray(jax.devices())
+    mesh2 = Mesh(devs.reshape(R, 4), ("restart", "data"))
+    params_r, assign_r, iters_r, status_r = sharded_em.train_em_multistart_2d(
+        problem["params0"],
+        assigns,
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+        mesh=mesh2,
+        n_steps=100,
+    )
+    assert assign_r.shape == (R, n)
+
+    mesh1 = Mesh(devs[:4], ("data",))
+    for r in range(R):
+        p1, a1, i1, s1 = sharded_em.train_em_shardmap(
+            problem["params0"],
+            assigns[r],
+            problem["z"],
+            problem["x"],
+            problem["v"],
+            problem["patterns"],
+            problem["pid"],
+            mesh=mesh1,
+            n_steps=100,
+        )
+        assert int(status_r[r]) == int(s1)
+        np.testing.assert_array_equal(
+            np.asarray(assign_r[r]), np.asarray(a1)
+        )
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda t: t[r], params_r)),
+                        jax.tree.leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multistart_2d_seed_generated_restarts(problem):
+    """1-D assign0 + n_restarts draws extra random starts; restart 0 must
+    equal the caller's assignment path."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    mesh2 = Mesh(devs.reshape(2, 4), ("restart", "data"))
+    params_r, assign_r, iters_r, status_r = sharded_em.train_em_multistart_2d(
+        problem["params0"],
+        problem["assign0"].astype(jnp.int32),
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+        mesh=mesh2,
+        n_restarts=2,
+        n_steps=50,
+        seed=7,
+    )
+    mesh1 = Mesh(devs[:4], ("data",))
+    p1, a1, i1, s1 = sharded_em.train_em_shardmap(
+        problem["params0"],
+        problem["assign0"].astype(jnp.int32),
+        problem["z"],
+        problem["x"],
+        problem["v"],
+        problem["patterns"],
+        problem["pid"],
+        mesh=mesh1,
+        n_steps=50,
+    )
+    np.testing.assert_array_equal(np.asarray(assign_r[0]), np.asarray(a1))
+    assert int(status_r[0]) == int(s1)
+
+
 def test_restart_parallel_multistart_matches_unsharded(problem):
     """Sharding the restart axis across the mesh must not change results."""
     from jax.sharding import Mesh
