@@ -129,18 +129,26 @@ def bench_tpu(z, x, v, patterns, pid):
     z, x, v = z[:, order], x[:, order], v[order]
 
     @functools.partial(jax.jit, static_argnames=("sizes",))
-    def em_step(params, zj, xj, vj, pj, sizes):
-        ll = em.estep_logliks_sorted(params, vj, pj, sizes=sizes, T=T)
-        assign = em.assignments_from_logliks(params.pi, ll)
-        return em.mstep(zj, xj, assign, n_clusters=C, impl="pallas")
+    def em_step(params, assign, vj, pj, sizes):
+        # fused E kernel: assignments/counts/switches straight from the
+        # kernel (the (C, n) log-likelihood matrix never touches HBM),
+        # then the whole-row Gram M kernel (one fat GEMM per block)
+        new_assign, counts, switches = em.estep_assign_sorted(
+            params, vj, pj, assign, sizes=sizes, T=T
+        )
+        new_params = em.mstep_sorted(
+            vj, new_assign, pj, sizes=sizes, T=T, d=D_H, l=D_O, n_clusters=C
+        )
+        return new_params, new_assign
 
-    params = em_step(params0, z, x, v, patterns, sizes=sizes)
+    assign = jnp.zeros((v.shape[0],), jnp.int32)
+    params, assign = em_step(params0, assign, v, patterns, sizes=sizes)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
-        params = em_step(params, z, x, v, patterns, sizes=sizes)
+        params, assign = em_step(params, assign, v, patterns, sizes=sizes)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"

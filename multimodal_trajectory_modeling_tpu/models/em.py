@@ -229,6 +229,94 @@ def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
     return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0).astype(jnp.int32)
 
 
+def counts_from_assign(assign: jax.Array, n_clusters: int) -> jax.Array:
+    """``bincount(assign, length=C)`` as a compare+sum — identical result,
+    but lowers to a VPU reduction instead of a scatter-add (bincount's
+    scatter costs ~10 ms at n=1e6 on a v5e; this is sub-ms)."""
+    lanes = jnp.arange(n_clusters, dtype=assign.dtype)
+    return jnp.sum(
+        (assign[:, None] == lanes[None, :]).astype(jnp.int32), axis=0
+    )
+
+
+def estep_assign_sorted(
+    params: MixtureParams,
+    v_sorted: jax.Array,
+    patterns: jax.Array,
+    prev_assign: jax.Array,
+    *,
+    sizes: tuple,
+    T: int,
+    interpret: bool = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused E-step over a pattern-sorted batch: returns
+    ``(assign, counts, switches)`` directly from the kernel — the
+    (C, n) log-likelihood matrix never touches HBM.  Same assignments as
+    ``assignments_from_logliks(pi, estep_logliks_sorted(...))`` up to
+    floating-point reassociation of the expanded quadratic form
+    (ops/pallas_estep.py:estep_assign_pattern_sorted)."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_estep
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    means, covs = cluster_joint_moments(params, T)
+    minv, const = pallas_estep.precompute_cluster_pattern_inverses(
+        means, covs, patterns
+    )
+    return pallas_estep.estep_assign_pattern_sorted(
+        v_sorted,
+        prev_assign,
+        means,
+        minv,
+        const,
+        jnp.log(params.pi),
+        patterns,
+        sizes=sizes,
+        interpret=interpret,
+    )
+
+
+def mstep_sorted(
+    v_sorted: jax.Array,
+    assign: jax.Array,
+    patterns: jax.Array,
+    *,
+    sizes: tuple,
+    T: int,
+    d: int,
+    l: int,
+    n_clusters: int,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    interpret: bool = None,
+) -> MixtureParams:
+    """Closed-form M step for a pattern-sorted batch via the whole-row
+    Gram kernel (ops/pallas_mstep.py:mstep_stats_gram_sorted): one fat
+    GEMM per block instead of per-t skinny GEMMs, with π derived from the
+    Gram counts (no separate bincount pass).  Same statistics as
+    :func:`mstep` up to f32/f64 reassociation."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_mstep
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    tstats, mstats, istats, counts = pallas_mstep.mstep_stats_gram_sorted(
+        v_sorted,
+        assign,
+        patterns,
+        sizes=sizes,
+        T=T,
+        d=d,
+        l=l,
+        n_clusters=n_clusters,
+        interpret=interpret,
+    )
+    pi = counts.astype(v_sorted.dtype) / v_sorted.shape[0]
+    m0, S0 = rops.mean_cov_from_stats(istats)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+    return MixtureParams(pi, m0, S0, A, G, H, L)
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_clusters", "reg_mode", "alpha", "impl")
 )
@@ -273,7 +361,7 @@ def mstep(
         tstats, mstats, istats = pallas_mstep.unpack_mstep_stats(
             stats, d, l, n_clusters
         )
-        pi = jnp.bincount(assign, length=n_clusters) / n
+        pi = counts_from_assign(assign, n_clusters).astype(z.dtype) / n
         m0, S0 = rops.mean_cov_from_stats(istats)
         A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
         H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
@@ -382,7 +470,7 @@ def train_em(
     C = params0.pi.shape[0]
     assign0 = assign0.astype(jnp.int32)
 
-    counts0 = jnp.bincount(assign0, length=C)
+    counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
 
     params_m = mstep(
@@ -402,7 +490,7 @@ def train_em(
         )
         new_assign = assignments_from_logliks(params.pi, ll)
         switches = jnp.sum(new_assign != assign)
-        counts = jnp.bincount(new_assign, length=C)
+        counts = counts_from_assign(new_assign, C)
         converged = switches == 0
         empty = (~converged) & (jnp.min(counts) <= min_members)
         run_m = (~converged) & (~empty)
@@ -456,27 +544,38 @@ def train_em_sorted(
     ``z/x/v`` rows must all carry the same pattern-ascending permutation
     (``np.argsort(pattern_id, kind="stable")``) and ``sizes`` its static
     per-pattern counts; the returned assignment is in sorted order — apply
-    the inverse permutation to recover input order.  In f64 the training
-    trajectory is bit-identical to :func:`train_em` (per-row arithmetic
-    and sufficient statistics are permutation-exact); in f32 results agree
-    to reassociation noise.
+    the inverse permutation to recover input order.  Produces the same
+    training trajectory as :func:`train_em` up to floating-point
+    reassociation (the fused kernels expand the quadratic form and batch
+    all time steps into one GEMM); assignments agree exactly unless a
+    per-row argmax is tied at reassociation noise.
     """
     T = z.shape[0]
+    d = z.shape[-1]
+    l = x.shape[-1]
     C = params0.pi.shape[0]
     assign0 = assign0.astype(jnp.int32)
+    interpret = jax.devices()[0].platform not in ("tpu",)
 
-    counts0 = jnp.bincount(assign0, length=C)
+    counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
 
-    params_m = mstep(
-        z,
-        x,
-        assign0,
-        n_clusters=C,
-        reg_mode=reg_mode,
-        alpha=alpha,
-        impl="pallas",
-    )
+    def _mstep(a):
+        return mstep_sorted(
+            v,
+            a,
+            patterns,
+            sizes=sizes,
+            T=T,
+            d=d,
+            l=l,
+            n_clusters=C,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            interpret=interpret,
+        )
+
+    params_m = _mstep(assign0)
     params_start = _tree_select(init_abort, params0, params_m)
     status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
 
@@ -486,22 +585,19 @@ def train_em_sorted(
 
     def body(state):
         params, assign, i, status = state
-        ll = estep_logliks_sorted(params, v, patterns, sizes=sizes, T=T)
-        new_assign = assignments_from_logliks(params.pi, ll)
-        switches = jnp.sum(new_assign != assign)
-        counts = jnp.bincount(new_assign, length=C)
+        new_assign, counts, switches = estep_assign_sorted(
+            params,
+            v,
+            patterns,
+            assign,
+            sizes=sizes,
+            T=T,
+            interpret=interpret,
+        )
         converged = switches == 0
         empty = (~converged) & (jnp.min(counts) <= min_members)
         run_m = (~converged) & (~empty)
-        new_params = mstep(
-            z,
-            x,
-            new_assign,
-            n_clusters=C,
-            reg_mode=reg_mode,
-            alpha=alpha,
-            impl="pallas",
-        )
+        new_params = _mstep(new_assign)
         params_out = _tree_select(run_m, new_params, params)
         status_out = jnp.where(
             converged,

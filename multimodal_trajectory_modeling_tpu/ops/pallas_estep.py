@@ -26,12 +26,14 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_trajectory_modeling_tpu.ops import gaussian as gops
 
 __all__ = [
     "estep_logliks_pallas",
     "estep_logliks_pattern_sorted",
+    "estep_assign_pattern_sorted",
     "precompute_cluster_pattern_inverses",
 ]
 
@@ -204,6 +206,156 @@ def estep_logliks_pattern_sorted(
         )(vp, means, minv[:, p], const[:, p].reshape(1, C))
         outs.append(out[:s])
     return jnp.concatenate(outs, axis=0).T  # (C, n)
+
+
+def _estep_assign_kernel(C: int, D: int):
+    """Fused single-pattern E-step: ONE fat quadratic-form GEMM for all C
+    clusters + in-kernel argmax, membership counts and switch count.
+
+    Uses the expanded form ``(v-m)ᵀM(v-m) = vᵀMv − 2·vᵀ(Mm) + mᵀMm`` so the
+    per-cluster inverses concatenate along lanes into a single
+    ``(D, C·D)`` operand — the GEMM runs at full lane width instead of C
+    N=D-wide GEMMs — and the pattern-constant linear/scalar terms fold
+    into per-cluster precomputed vectors.  The log-likelihood matrix is
+    never written to HBM: assignments, counts and switches leave the
+    kernel directly (reference E-step consumers,
+    marginalizable_mixture_model.py:1235-1252).
+    """
+
+    def kernel(
+        v_ref,  # (Bn, D)
+        prev_ref,  # (Bn, 1) int32; padded rows carry -1
+        mcat_ref,  # (D, C*D)  concat_c minv[c]
+        lin_ref,  # (D, C)    minv[c] @ (mean_c ⊙ pattern)
+        c2_ref,  # (1, C)    log π_c + const_c − ½ mᵀMm
+        assign_out,  # (Bn, 1) int32
+        counts_out,  # (1, C) int32 (accumulated over grid)
+        switch_out,  # (1, 1) int32 (accumulated over grid)
+    ):
+        v = v_ref[:, :]
+        Bn = v.shape[0]
+        dtype = v.dtype
+        vm = jnp.where(jnp.isfinite(v), v, 0.0)
+        Y = jnp.dot(vm, mcat_ref[:, :], preferred_element_type=dtype)
+        rep = pltpu.repeat(vm, C, axis=1)  # (Bn, C*D)
+        # lane-segmented reduction (C*D → C) as a 0/1 GEMM
+        kc = jax.lax.broadcasted_iota(jnp.int32, (C * D, C), 0) // D
+        cc = jax.lax.broadcasted_iota(jnp.int32, (C * D, C), 1)
+        Ssum = (kc == cc).astype(dtype)
+        q = jnp.dot(Y * rep, Ssum, preferred_element_type=dtype)  # (Bn, C)
+        qlin = jnp.dot(vm, lin_ref[:, :], preferred_element_type=dtype)
+        scores = c2_ref[0, :] - 0.5 * q + qlin  # (Bn, C)
+
+        na = jnp.argmax(scores, axis=1).astype(jnp.int32)  # first-max
+        prev = prev_ref[:, 0]
+        validrow = prev >= 0
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (Bn, C), 1)
+        onehot = ((na[:, None] == lanes) & validrow[:, None]).astype(
+            jnp.int32
+        )
+        counts_p = jnp.sum(onehot, axis=0).reshape(1, C)
+        sw_p = jnp.sum(
+            ((na != prev) & validrow).astype(jnp.int32)
+        ).reshape(1, 1)
+
+        assign_out[:, 0] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+
+    return kernel
+
+
+def estep_assign_pattern_sorted(
+    v: jax.Array,  # (n, D) rows grouped by pattern id (ascending)
+    prev_assign: jax.Array,  # (n,) int32
+    means: jax.Array,  # (C, D)
+    minv: jax.Array,  # (C, P, D, D)
+    const: jax.Array,  # (C, P)
+    logpi: jax.Array,  # (C,)
+    patterns: jax.Array,  # (P, D) bool
+    *,
+    sizes: tuple,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused E-step over a pattern-sorted batch: returns
+    ``(assign (n,) int32, counts (C,) int32, switches () int32)`` without
+    materializing the (C, n) log-likelihood matrix.
+
+    ``assign`` equals ``argmax_c (log π_c + ll_c)`` (first-max ties, like
+    :func:`..models.em.assignments_from_logliks`) up to floating-point
+    reassociation of the expanded quadratic form; ``counts`` equals
+    ``bincount(assign, length=C)`` and ``switches`` equals
+    ``sum(assign != prev_assign)`` exactly.
+    """
+    n, D = v.shape
+    C, P = const.shape
+    assert len(sizes) == P and sum(sizes) == n
+    fmask = patterns.astype(v.dtype)  # (P, D)
+
+    # per-(pattern, cluster) operands for the expanded quadratic form
+    mp = means[None, :, :] * fmask[:, None, :]  # (P, C, D) masked means
+    lin = jnp.einsum("cpij,pcj->pic", minv, mp)  # (P, D, C)
+    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp)  # (P, C)
+    c2 = (logpi[None, :] + const.T - 0.5 * mMm)[:, None, :]  # (P, 1, C)
+    mcat = jnp.transpose(minv, (1, 2, 0, 3)).reshape(P, D, C * D)
+
+    assigns = []
+    counts = jnp.zeros((C,), jnp.int32)
+    switches = jnp.zeros((), jnp.int32)
+    off = 0
+    for p in range(P):
+        s = sizes[p]
+        if s == 0:
+            continue
+        vp = v[off : off + s]
+        ap = prev_assign[off : off + s].astype(jnp.int32)
+        off += s
+        pad = (-s) % block_n
+        if pad:
+            vp = jnp.concatenate([vp, jnp.zeros((pad, D), v.dtype)], axis=0)
+            ap = jnp.concatenate(
+                [ap, jnp.full((pad,), -1, jnp.int32)], axis=0
+            )
+        s_pad = vp.shape[0]
+        a_out, c_out, w_out = pl.pallas_call(
+            _estep_assign_kernel(C, D),
+            grid=(s_pad // block_n,),
+            in_specs=[
+                pl.BlockSpec((block_n, D), lambda i: (i, 0)),
+                pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+                pl.BlockSpec((D, C * D), lambda i: (0, 0)),
+                pl.BlockSpec((D, C), lambda i: (0, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+                pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((s_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1, C), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            vp,
+            ap.reshape(s_pad, 1),
+            mcat[p],
+            lin[p],
+            c2[p],
+        )
+        assigns.append(a_out[:s, 0])
+        counts = counts + c_out[0]
+        switches = switches + w_out[0, 0]
+    return jnp.concatenate(assigns, axis=0), counts, switches
 
 
 def estep_logliks_fused(

@@ -46,7 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_trajectory_modeling_tpu.ops import regression as rops
 
-__all__ = ["mstep_stats_pallas", "unpack_mstep_stats"]
+__all__ = [
+    "mstep_stats_pallas",
+    "unpack_mstep_stats",
+    "mstep_stats_gram_sorted",
+]
 
 
 def _mstep_kernel(T: int, d: int, l: int, C: int):
@@ -178,6 +182,176 @@ def mstep_stats_pallas(
             else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         ),
     )(v, assign.astype(jnp.int32).reshape(n_pad, 1))
+
+
+def _mstep_gram_kernel(C: int):
+    """Whole-row Gram kernel: ONE ``(u, Bn) @ (Bn, C·u)`` GEMM per block
+    with ``u = D+1`` covers every time step of every statistic at once —
+    the per-t skinny GEMMs of :func:`_mstep_kernel` (M-dim 11/128 on the
+    MXU) become a single fat one (M-dim (D+1)/128).  Per-time-step
+    validity is NOT applied here; it is segment-constant for a
+    pattern-sorted batch, so the host selects valid (t, t') Gram blocks
+    after the reduction (:func:`mstep_stats_gram_sorted`)."""
+
+    def kernel(v_ref, a_ref, s_out):
+        v = v_ref[:, :]  # (Bn, D)
+        Bn = v.shape[0]
+        dtype = v.dtype
+        vm = jnp.where(jnp.isfinite(v), v, 0.0)
+        U = jnp.concatenate([vm, jnp.ones((Bn, 1), dtype)], axis=1)
+        u = U.shape[1]
+        a = a_ref[:, :]  # (Bn, 1) int32; padded rows carry C
+        kc = jax.lax.broadcasted_iota(jnp.int32, (Bn, C * u), 1) // u
+        W = (a == kc).astype(dtype)  # (Bn, C*u)
+        B = W * pltpu.repeat(U, C, axis=1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            s_out[:, :] = jnp.zeros_like(s_out)
+
+        s_out[:, :] += jnp.dot(U.T, B, preferred_element_type=dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sizes",
+        "T",
+        "d",
+        "l",
+        "n_clusters",
+        "block_n",
+        "interpret",
+    ),
+)
+def mstep_stats_gram_sorted(
+    v: jax.Array,  # (n, T*(d+l)) packed rows grouped by pattern id
+    assign: jax.Array,  # (n,) int32
+    patterns: jax.Array,  # (P, T*(d+l)) bool
+    *,
+    sizes: tuple,
+    T: int,
+    d: int,
+    l: int,
+    n_clusters: int,
+    block_n: int = 1024,
+    interpret: bool = False,
+):
+    """M-step sufficient statistics for a PATTERN-SORTED batch via one
+    whole-row Gram per segment.
+
+    Returns ``(tstats, mstats, istats, pi_counts)`` — the same
+    RegressionStats/MomentStats as the per-t kernel plus the per-cluster
+    membership count (so callers skip a separate bincount; counts are
+    exact while n ≤ 2²⁴ in f32).  Equal to
+    :func:`..ops.regression.weighted_regression_stats_timebatched` sums up
+    to floating-point reassociation (all T time steps accumulate in one
+    GEMM instead of per-t).
+
+    Reference semantics: M_step pair stacking with any-NaN row drops,
+    marginalizable_mixture_model.py:1254-1308 — within a pattern segment
+    the per-t validity is row-constant, so dropping invalid pairs is a
+    post-hoc selection of (t, t′) Gram blocks.
+    """
+    n, D = v.shape
+    assert D == T * (d + l)
+    C = n_clusters
+    u = D + 1
+    P = len(sizes)
+
+    grams = []
+    off = 0
+    for p in range(P):
+        s = sizes[p]
+        if s == 0:
+            grams.append(jnp.zeros((C, u, u), v.dtype))
+            continue
+        vp = v[off : off + s]
+        ap = assign[off : off + s].astype(jnp.int32)
+        off += s
+        pad = (-s) % block_n
+        if pad:
+            vp = jnp.concatenate(
+                [vp, jnp.full((pad, D), jnp.nan, v.dtype)], axis=0
+            )
+            ap = jnp.concatenate([ap, jnp.full((pad,), C, jnp.int32)])
+        s_pad = vp.shape[0]
+        S = pl.pallas_call(
+            _mstep_gram_kernel(C),
+            grid=(s_pad // block_n,),
+            in_specs=[
+                pl.BlockSpec((block_n, D), lambda i: (i, 0)),
+                pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((u, C * u), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((u, C * u), v.dtype),
+            interpret=interpret,
+            compiler_params=(
+                None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024
+                )
+            ),
+        )(vp, ap.reshape(s_pad, 1))
+        grams.append(S.reshape(u, C, u).transpose(1, 0, 2))  # (C, u, u)
+    G = jnp.stack(grams)  # (P, C, u, u)
+
+    # segment-constant validity masks from the patterns
+    zv = patterns[:, : T * d].reshape(P, T, d).all(axis=-1)  # (P, T)
+    xv = patterns[:, T * d :].reshape(P, T, l).all(axis=-1)  # (P, T)
+    pv = (zv[:, :-1] & zv[:, 1:]).astype(v.dtype)  # (P, T-1) pair valid
+    mv = (zv & xv).astype(v.dtype)  # (P, T) meas valid
+    iv = zv[:, 0].astype(v.dtype)  # (P,) init valid
+
+    zsl = [slice(t * d, (t + 1) * d) for t in range(T)]
+    xsl = [slice(T * d + t * l, T * d + (t + 1) * l) for t in range(T)]
+    one = u - 1  # index of the augmented ones column
+
+    def gather(w_pt, row_slices, col_slices):
+        # Σ_p Σ_t w[p, t] · G[p, :, rows_t, cols_t]
+        return sum(
+            jnp.einsum(
+                "p,pcij->cij", w_pt[:, t], G[:, :, row_slices[t], col_slices[t]]
+            )
+            for t in range(w_pt.shape[1])
+        )
+
+    def gather_vec(w_pt, col_slices):
+        return sum(
+            jnp.einsum(
+                "p,pcj->cj", w_pt[:, t], G[:, :, one, col_slices[t]]
+            )
+            for t in range(w_pt.shape[1])
+        )
+
+    nseg = G[:, :, one, one]  # (P, C) rows per (pattern, cluster)
+
+    tstats = rops.RegressionStats(
+        xtx=gather(pv, zsl[:-1], zsl[:-1]),
+        xty=gather(pv, zsl[:-1], zsl[1:]),
+        yty=gather(pv, zsl[1:], zsl[1:]),
+        sx=gather_vec(pv, zsl[:-1]),
+        sy=gather_vec(pv, zsl[1:]),
+        count=jnp.einsum("pt,pc->c", pv, nseg),
+    )
+    mstats = rops.RegressionStats(
+        xtx=gather(mv, zsl, zsl),
+        xty=gather(mv, zsl, xsl),
+        yty=gather(mv, xsl, xsl),
+        sx=gather_vec(mv, zsl),
+        sy=gather_vec(mv, xsl),
+        count=jnp.einsum("pt,pc->c", mv, nseg),
+    )
+    istats = rops.MomentStats(
+        count=jnp.einsum("p,pc->c", iv, nseg),
+        s=jnp.einsum("p,pcj->cj", iv, G[:, :, one, zsl[0]]),
+        ss=jnp.einsum("p,pcij->cij", iv, G[:, :, zsl[0], zsl[0]]),
+    )
+    pi_counts = jnp.sum(nseg, axis=0)  # (C,) total membership
+    return tstats, mstats, istats, pi_counts
 
 
 def unpack_mstep_stats(stats, d: int, l: int, n_clusters: int):

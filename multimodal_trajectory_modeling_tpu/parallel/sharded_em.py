@@ -215,7 +215,7 @@ def _make_shard_em_loop(
             jnp.asarray(assign0.shape[0], z_l.dtype), axis
         )
 
-        counts0 = jax.lax.psum(jnp.bincount(assign0, length=C), axis)
+        counts0 = jax.lax.psum(em.counts_from_assign(assign0, C), axis)
         init_abort = jnp.min(counts0) <= min_members
 
         stats = local_mstep_stats(z_l, x_l, assign0)
@@ -247,7 +247,7 @@ def _make_shard_em_loop(
                 jnp.sum(new_assign != assign), axis
             )
             counts = jax.lax.psum(
-                jnp.bincount(new_assign, length=C), axis
+                em.counts_from_assign(new_assign, C), axis
             )
             converged = switches == 0
             empty = (~converged) & (jnp.min(counts) <= min_members)
