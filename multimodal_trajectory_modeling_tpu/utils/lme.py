@@ -104,6 +104,60 @@ def build_design(
     return y, X, names
 
 
+class _SuffStats:
+    """Per-group sufficient statistics: everything the REML likelihood, the
+    fixed-effect information and the variance-component derivatives need.
+    With a single random intercept each group's covariance is
+    ``V_g = σ² I + τ² 1 1ᵀ`` (rank-one), so only ``XᵀX``, ``Xᵀ1``, ``Xᵀy``,
+    ``yᵀ1``, ``yᵀy`` and ``n_g`` per group are ever touched."""
+
+    def __init__(self, y, X, group_slices):
+        self.G = np.stack([X[lo:hi].T @ X[lo:hi] for lo, hi in group_slices])
+        self.s = np.stack([X[lo:hi].sum(axis=0) for lo, hi in group_slices])
+        self.xy = np.stack([X[lo:hi].T @ y[lo:hi] for lo, hi in group_slices])
+        self.sy = np.array([y[lo:hi].sum() for lo, hi in group_slices])
+        self.yy = np.array([y[lo:hi] @ y[lo:hi] for lo, hi in group_slices])
+        self.ng = np.array([hi - lo for lo, hi in group_slices], dtype=float)
+        self.n = int(self.ng.sum())
+        self.p = X.shape[1]
+
+    def info_and_derivs(self, sigma2, tau2):
+        """``M = XᵀV⁻¹X`` and its derivatives w.r.t. (σ², τ²).
+
+        Sherman—Morrison per group: ``V⁻¹ = (I − c 11ᵀ)/σ²`` with
+        ``c = τ²/(σ² + n τ²)``; then ``∂M/∂σ² = −XᵀV⁻²X`` with
+        ``V⁻² = (I − c(2 − cn) 11ᵀ)/σ⁴`` and ``∂M/∂τ² = −Σ u uᵀ`` with
+        ``u = XᵀV⁻¹1 = s/(σ² + n τ²)``."""
+        denom = sigma2 + self.ng * tau2
+        c = tau2 / denom
+        ss = np.einsum("gi,gj->gij", self.s, self.s)
+        M = (self.G - c[:, None, None] * ss).sum(axis=0) / sigma2
+        c2 = c * (2.0 - c * self.ng)
+        dM_ds = -(self.G - c2[:, None, None] * ss).sum(axis=0) / sigma2**2
+        u = self.s / denom[:, None]
+        dM_dt = -np.einsum("gi,gj->ij", u, u)
+        return M, dM_ds, dM_dt
+
+    def neg2_reml(self, sigma2, tau2):
+        """Exact −2·REML log-likelihood at (σ², τ²) (constants dropped) —
+        the function whose numerical Hessian yields the asymptotic
+        covariance of the variance components (lmerTest's recipe)."""
+        denom = sigma2 + self.ng * tau2
+        c = tau2 / denom
+        ss = np.einsum("gi,gj->gij", self.s, self.s)
+        M = (self.G - c[:, None, None] * ss).sum(axis=0) / sigma2
+        Xty = (self.xy - c[:, None] * self.s * self.sy[:, None]).sum(
+            axis=0
+        ) / sigma2
+        ytVy = float((self.yy - c * self.sy**2).sum() / sigma2)
+        beta = np.linalg.solve(M, Xty)
+        logdetV = float(
+            (self.ng - 1).sum() * np.log(sigma2) + np.log(denom).sum()
+        )
+        sign, logdetM = np.linalg.slogdet(M)
+        return logdetV + logdetM + (ytVy - beta @ Xty), beta, M
+
+
 @dataclass
 class MixedLMResult:
     params: pd.Series
@@ -115,37 +169,154 @@ class MixedLMResult:
     n_groups: int
     n_obs: int
     names: list[str] = field(default_factory=list)
+    vc_cov: np.ndarray = None  # 2×2 asymptotic cov of (σ̂², τ̂²)
+    _stats: _SuffStats = None
 
     def tvalues(self) -> pd.Series:
         return self.params / self.bse
 
     def pvalues(self) -> pd.Series:
-        z = self.tvalues()
+        """Per-coefficient two-sided p-values on Satterthwaite t references
+        (falls back to normal if the variance-component covariance is
+        unavailable)."""
+        t = self.tvalues()
+        if self.vc_cov is None:
+            return pd.Series(
+                2 * sp_stats.norm.sf(np.abs(t.values)), index=t.index
+            )
+        dofs = self.coef_df().values
         return pd.Series(
-            2 * sp_stats.norm.sf(np.abs(z.values)), index=z.index
+            2 * sp_stats.t.sf(np.abs(t.values), dofs), index=t.index
         )
 
+    # -- Satterthwaite machinery ------------------------------------------
+
+    def _var_and_grad(self, w: np.ndarray):
+        """Variance of the contrast ``wᵀβ̂`` and its gradient w.r.t.
+        (σ², τ²): f = wᵀ M⁻¹ w, ∂f/∂θ = −(M⁻¹w)ᵀ (∂M/∂θ) (M⁻¹w)."""
+        M, dM_ds, dM_dt = self._stats.info_and_derivs(self.sigma2, self.tau2)
+        v = np.linalg.solve(M, w)
+        f = float(w @ v)
+        return f, np.array([-(v @ dM_ds @ v), -(v @ dM_dt @ v)])
+
+    def satterthwaite_df(self, w: np.ndarray) -> float:
+        """ν = 2 f² / (∇fᵀ A ∇f) where A = Cov(σ̂², τ̂²)."""
+        if self.vc_cov is None:
+            return float(self.n_obs - len(self.names))
+        f, g = self._var_and_grad(np.asarray(w, dtype=float))
+        denom = float(g @ self.vc_cov @ g)
+        if denom <= 0:
+            return float(self.n_obs - len(self.names))
+        return 2.0 * f * f / denom
+
+    def coef_df(self) -> pd.Series:
+        """Satterthwaite denominator dof for each fixed effect."""
+        eye = np.eye(len(self.names))
+        return pd.Series(
+            [self.satterthwaite_df(eye[i]) for i in range(len(self.names))],
+            index=self.names,
+        )
+
+    def contest(self, L, joint: bool = True) -> pd.DataFrame:
+        """lmerTest-style contrast test.  ``L`` is one contrast vector or a
+        (q×p) matrix in coefficient space.  Returns the lmerTest ``contest``
+        columns: Sum Sq / Mean Sq / NumDF / DenDF / F value / Pr(>F), where
+        DenDF combines per-eigencomponent Satterthwaite dofs
+        (ν from 2E/(E−q), E = Σ νᵢ/(νᵢ−2))."""
+        L = np.atleast_2d(np.asarray(L, dtype=float))
+        q = L.shape[0]
+        b = self.params.values
+        C = self.cov_params_.values
+        VL = L @ C @ L.T
+        Lb = L @ b
+        fstat = float(Lb @ np.linalg.solve(VL, Lb)) / q
+        if q == 1:
+            ddf = self.satterthwaite_df(L[0])
+        else:
+            d, P = np.linalg.eigh(VL)
+            nus = []
+            for i in range(q):
+                li = P[:, i] @ L  # contrast with variance d[i]
+                nus.append(self.satterthwaite_df(li))
+            nus = np.asarray(nus)
+            ok = nus > 2.0
+            E = float((nus[ok] / (nus[ok] - 2.0)).sum())
+            ddf = 2.0 * E / (E - q) if E > q else float("inf")
+        pval = float(sp_stats.f.sf(fstat, q, ddf))
+        ss = fstat * q * self.sigma2
+        return pd.DataFrame(
+            {
+                "Sum Sq": [ss],
+                "Mean Sq": [ss / q],
+                "NumDF": [q],
+                "DenDF": [ddf],
+                "F value": [fstat],
+                "Pr(>F)": [pval],
+            }
+        )
+
+    def anova(self) -> pd.DataFrame:
+        """Type III ANOVA table with Satterthwaite denominator dof for an
+        ``a * b`` fit (categorical × numeric), matching lmerTest's
+        coding-independent hypotheses: the categorical main effect tests its
+        treatment offsets jointly, the numeric main effect tests the
+        *level-averaged* slope, the interaction tests its offsets jointly."""
+        names = self.names
+        p = len(names)
+        inter = [nm for nm in names if ":" in nm]
+        cat_main = [
+            nm for nm in names if "[" in nm and ":" not in nm
+        ]
+        num_main = [
+            nm
+            for nm in names
+            if nm != "Intercept" and "[" not in nm and ":" not in nm
+        ]
+        rows = {}
+        if cat_main:
+            L = np.zeros((len(cat_main), p))
+            for r, nm in enumerate(cat_main):
+                L[r, names.index(nm)] = 1.0
+            label = cat_main[0].split("[")[0]
+            rows[label] = self.contest(L).iloc[0]
+        for nm in num_main:
+            L = np.zeros(p)
+            L[names.index(nm)] = 1.0
+            hits = [j for j, im in enumerate(names) if ":" in im]
+            k = len(hits) + 1
+            for j in hits:
+                L[j] = 1.0 / k
+            rows[nm] = self.contest(L).iloc[0]
+        if inter:
+            L = np.zeros((len(inter), p))
+            for r, nm in enumerate(inter):
+                L[r, names.index(nm)] = 1.0
+            label = inter[0].split("[")[0] + ":" + inter[0].split(":")[-1]
+            rows[label] = self.contest(L).iloc[0]
+        return pd.DataFrame(rows).T
+
     def wald_test_terms(self, term_names: list[str]) -> tuple[float, float]:
-        """Joint Wald test that the named coefficients are all zero;
-        returns (F-like statistic, p-value) with chi²/q reference — the
-        stand-in for lmerTest's Satterthwaite F (documented approximation)."""
+        """Joint F test that the named coefficients are all zero, on the
+        Satterthwaite denominator-dof reference; returns (F, p-value)."""
         idx = [self.names.index(nm) for nm in term_names]
-        b = self.params.values[idx]
-        Vs = self.cov_params_.values[np.ix_(idx, idx)]
-        stat = float(b @ np.linalg.solve(Vs, b))
-        q = len(idx)
-        p = float(sp_stats.chi2.sf(stat, q))
-        return stat / q, p
+        L = np.zeros((len(idx), len(self.names)))
+        for r, j in enumerate(idx):
+            L[r, j] = 1.0
+        row = self.contest(L).iloc[0]
+        return float(row["F value"]), float(row["Pr(>F)"])
 
     def summary(self) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "coef": self.params,
                 "se": self.bse,
-                "z": self.tvalues(),
+                "t": self.tvalues(),
                 "p": self.pvalues(),
             }
         )
+        if self.vc_cov is not None:
+            out.insert(2, "df", self.coef_df())
+        return out
 
 
 def _profile_reml(lam, y, X, group_sizes, group_slices):
@@ -177,18 +348,49 @@ def _profile_reml(lam, y, X, group_sizes, group_slices):
     return neg2reml, beta, sigma2, XtVX
 
 
+def _vc_covariance(stats: _SuffStats, sigma2: float, tau2: float):
+    """Asymptotic covariance of the REML variance-component estimates:
+    ``2 H⁻¹`` with ``H`` the numerical Hessian of −2·REML log-likelihood at
+    (σ̂², τ̂²) — lmerTest's recipe for the Satterthwaite denominator dof."""
+    theta = np.array([sigma2, tau2], dtype=float)
+    h = 1e-4 * np.maximum(np.abs(theta), 1e-8)
+
+    def f(t):
+        return stats.neg2_reml(max(t[0], 1e-12), max(t[1], 0.0))[0]
+
+    H = np.zeros((2, 2))
+    f0 = f(theta)
+    for i in range(2):
+        ei = np.zeros(2)
+        ei[i] = h[i]
+        H[i, i] = (f(theta + ei) - 2 * f0 + f(theta - ei)) / h[i] ** 2
+    e0 = np.array([h[0], 0.0])
+    e1 = np.array([0.0, h[1]])
+    H[0, 1] = H[1, 0] = (
+        f(theta + e0 + e1)
+        - f(theta + e0 - e1)
+        - f(theta - e0 + e1)
+        + f(theta - e0 - e1)
+    ) / (4 * h[0] * h[1])
+    try:
+        A = 2.0 * np.linalg.inv(H)
+    except np.linalg.LinAlgError:
+        return None
+    # H must be PD at an interior optimum; boundary fits get no vc cov
+    if not np.all(np.linalg.eigvalsh(A) > 0):
+        return None
+    return A
+
+
 def emtrends(
     res: MixedLMResult, var: str, factor: str = "cluster"
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Per-level slopes of ``var`` with SEs, plus Tukey-adjusted pairwise
-    contrasts — the pipeline's use of emmeans::emtrends
-    (posthoc/lme_*.R).  Degrees of freedom use the residual count (the
-    Satterthwaite refinement changes them by <2% at these sample sizes).
-    """
+    contrasts — the pipeline's use of emmeans::emtrends with
+    ``lmer.df = "satterthwaite"`` (posthoc/lme_*.R)."""
     names = res.names
     cov = res.cov_params_.values
     p = len(names)
-    dof = res.n_obs - p
 
     # discover levels from coefficient names
     weights = {}
@@ -223,6 +425,7 @@ def emtrends(
     for lv, w in sorted(weights.items()):
         est = float(w @ res.params.values)
         se = float(np.sqrt(w @ cov @ w))
+        dof = res.satterthwaite_df(w)
         t_lo, t_hi = sp_stats.t.interval(0.95, dof)
         rows.append((lv, est, se, dof, est + t_lo * se, est + t_hi * se))
     trends = pd.DataFrame(
@@ -238,6 +441,7 @@ def emtrends(
             w = weights[lv_list[i]] - weights[lv_list[j]]
             est = float(w @ res.params.values)
             se = float(np.sqrt(w @ cov @ w))
+            dof = res.satterthwaite_df(w)
             t = est / se
             # Tukey adjustment over a family of k estimates
             pval = float(
@@ -292,6 +496,8 @@ class _MixedLM:
             lam, y, X, group_sizes, group_slices
         )
         cov = np.linalg.inv(XtVX) * sigma2
+        stats = _SuffStats(y, X, group_slices)
+        vc_cov = _vc_covariance(stats, float(sigma2), float(lam * sigma2))
         return MixedLMResult(
             params=pd.Series(beta, index=names),
             bse=pd.Series(np.sqrt(np.diag(cov)), index=names),
@@ -302,4 +508,6 @@ class _MixedLM:
             n_groups=len(uniq),
             n_obs=len(y),
             names=names,
+            vc_cov=vc_cov,
+            _stats=stats,
         )

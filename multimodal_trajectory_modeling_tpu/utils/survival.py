@@ -221,22 +221,34 @@ def k_fold_cross_validation(
     fitter_kwargs: dict = None,
     seed: int = None,
 ):
-    """Seeded shuffled k-fold CV; returns the per-fold held-out scores
-    (lifelines.utils.k_fold_cross_validation surface)."""
+    """Seeded k-fold CV; returns the per-fold held-out scores.
+
+    Replicates ``lifelines.utils.k_fold_cross_validation``'s split exactly
+    (the reference's posthoc stage depends on it for its published
+    concordances 0.836/0.887): seed the *global* NumPy RandomState, shuffle
+    the frame by permuting its index, re-sort by the event column (pandas'
+    default unstable quicksort — the shuffle determines tie order), then
+    deal rows into folds cyclically ``1..k``.  Events end up spread across
+    folds because censored rows sort first.
+    """
     fitter_kwargs = fitter_kwargs or {}
     n = len(df)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
-    folds = np.array_split(perm, k)
+    if seed is not None:
+        np.random.seed(seed)
+    shuffled = df.reindex(np.random.permutation(df.index)).sort_values(
+        event_col
+    )
+    fold_of_row = np.array((n // k + 1) * list(range(1, k + 1)))[:n]
     scores = []
-    for f in range(k):
-        test_idx = folds[f]
-        train_idx = np.concatenate([folds[g] for g in range(k) if g != f])
-        train_df = df.iloc[train_idx]
-        test_df = df.iloc[test_idx]
+    for fold in range(1, k + 1):
+        held_out = fold_of_row == fold
         fit = fitter.__class__(
             penalizer=fitter.penalizer, l1_ratio=fitter.l1_ratio
         )
-        fit.fit(train_df, duration_col, event_col, **fitter_kwargs)
-        scores.append(fit.score(test_df, scoring_method=scoring_method))
+        fit.fit(
+            shuffled.loc[~held_out], duration_col, event_col, **fitter_kwargs
+        )
+        scores.append(
+            fit.score(shuffled.loc[held_out], scoring_method=scoring_method)
+        )
     return scores

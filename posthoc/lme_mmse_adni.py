@@ -3,10 +3,10 @@
 
 Python equivalent of the reference's R script (posthoc/lme_mmse_adni.R):
 ``mmse_age_adjusted ~ cluster * time_in_years + (1 | id)`` — REML fit,
-per-term Wald F tests (stand-in for lmerTest's Satterthwaite ANOVA; the
-reference reports a cluster×time interaction of F = 64.1, p < 2.2e-16),
-the A-vs-D initial contrast, and emtrends-style per-cluster time slopes
-with Tukey-adjusted pairwise contrasts.
+Type III ANOVA with Satterthwaite denominator dof (the reference reports
+a cluster×time interaction of F = 64.127 on (3, 929.1) dof), the
+``contest`` A-vs-D initial contrast, and emtrends-style per-cluster time
+slopes with Tukey-adjusted pairwise contrasts.
 """
 
 import pathlib
@@ -34,19 +34,8 @@ def main():
         groups=df["id"].to_numpy(),
     ).fit()
 
-    print("Wald F-tests (chi²/q approximation of Satterthwaite ANOVA):")
-    names = res.names
-    cluster_terms = [
-        nm for nm in names if nm.startswith("cluster[") and ":" not in nm
-    ]
-    inter_terms = [nm for nm in names if ":" in nm]
-    for label, terms in (
-        ("cluster", cluster_terms),
-        ("time_in_years", ["time_in_years"]),
-        ("cluster:time_in_years", inter_terms),
-    ):
-        stat, p = res.wald_test_terms(terms)
-        print(f"  {label:24s} F≈{stat:8.3f}  p={p:.3e}")
+    print("Type III Analysis of Variance Table with Satterthwaite's method")
+    print(res.anova())
 
     print("\nFixed effects:")
     print(res.summary())
@@ -56,9 +45,12 @@ def main():
         f"n_obs={res.n_obs}  groups={res.n_groups}"
     )
 
-    # A_init vs D_init contrast: Intercept − (Intercept + cluster[T.D])
-    stat, p = res.wald_test_terms(["cluster[T.D]"])
-    print(f"\nA_init vs. D_init: F≈{stat:.3f}  p={p:.3e}")
+    # contest(list(`A_init vs. D_init` = c(1, 0, 0, -1, 0, 0, 0, 0)))
+    L = np.zeros(len(res.names))
+    L[res.names.index("Intercept")] = 1.0
+    L[res.names.index("cluster[T.D]")] = -1.0
+    print("\nA_init vs. D_init:")
+    print(res.contest(L).rename(index={0: "A_init vs. D_init"}))
 
     trends, contrasts = lme.emtrends(res, "time_in_years", "cluster")
     print("\nPer-cluster time trends:")

@@ -88,3 +88,70 @@ def test_lme_matches_ols_when_no_group_variance():
     np.testing.assert_allclose(
         res.params.values, beta_ols, rtol=1e-4, atol=1e-4
     )
+
+
+def test_satterthwaite_df_balanced_one_way():
+    """On a balanced one-way random-intercept design the intercept's t-test
+    has exactly n_groups − 1 denominator dof (between-group stratum) and a
+    group-constant-free covariate has ~ the within-group residual dof —
+    Satterthwaite must recover both (lmerTest semantics)."""
+    rng = np.random.default_rng(0)
+    g, per = 30, 5
+    groups = np.repeat(np.arange(g), per)
+    b = rng.normal(0, 1.3, g)
+    y = 2.0 + b[groups] + rng.normal(0, 0.8, g * per)
+    df = pd.DataFrame({"y": y, "x": rng.normal(size=g * per)})
+    res = mixedlm("y ~ x", df, groups=groups).fit()
+    dofs = res.coef_df()
+    assert abs(dofs["Intercept"] - (g - 1)) < 0.5
+    assert g * per * 0.7 < dofs["x"] < g * per
+
+
+def test_contest_single_vs_multi_df():
+    df = _sim_lme()
+    res = mixedlm("y ~ cluster * x", df, groups=df["id"]).fit()
+    p = len(res.names)
+    # single contrast: F == t² of the coefficient, DenDF == its Satterthwaite
+    one = np.zeros(p)
+    one[res.names.index("x")] = 1.0
+    row = res.contest(one).iloc[0]
+    t = res.tvalues()["x"]
+    np.testing.assert_allclose(row["F value"], t * t, rtol=1e-10)
+    np.testing.assert_allclose(
+        row["DenDF"], res.satterthwaite_df(one), rtol=1e-10
+    )
+    # multi-row contrast: eigen-combined DenDF lies within the per-row range
+    L = np.zeros((2, p))
+    L[0, res.names.index("cluster[T.B]:x")] = 1.0
+    L[1, res.names.index("cluster[T.C]:x")] = 1.0
+    row = res.contest(L).iloc[0]
+    nus = [res.satterthwaite_df(L[i]) for i in range(2)]
+    assert min(nus) * 0.8 <= row["DenDF"] <= max(nus) * 1.2
+    # Sum Sq convention: SS = F · q · σ̂²
+    np.testing.assert_allclose(
+        row["Sum Sq"], row["F value"] * 2 * res.sigma2, rtol=1e-12
+    )
+
+
+def test_anova_type3_table_shape_and_time_hypothesis():
+    """anova() tests the level-averaged slope for the numeric main effect:
+    on a fit where per-level slopes cancel, the numeric row must be null
+    while the interaction row is hot."""
+    rng = np.random.default_rng(3)
+    g = 200
+    rows = []
+    for gi in range(g):
+        cl = ["A", "B"][gi % 2]
+        slope = {"A": 1.0, "B": -1.0}[cl]  # average slope == 0
+        b = rng.normal(0, 0.5)
+        for _ in range(4):
+            xv = rng.normal()
+            rows.append(
+                (gi, cl, xv, slope * xv + b + rng.normal(scale=0.3))
+            )
+    df = pd.DataFrame(rows, columns=["id", "cluster", "x", "y"])
+    res = mixedlm("y ~ cluster * x", df, groups=df["id"]).fit()
+    tbl = res.anova()
+    assert list(tbl.index) == ["cluster", "x", "cluster:x"]
+    assert tbl.loc["x", "Pr(>F)"] > 0.01  # mean slope ≈ 0
+    assert tbl.loc["cluster:x", "Pr(>F)"] < 1e-10
