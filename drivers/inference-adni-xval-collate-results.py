@@ -518,7 +518,7 @@ def main():
         category_ordering=data.diagnosis_list,
         clusters=cs,
         slice_colors=data.diagnosis_colors,
-        legend_bbox_to_anchor=(1.75 + 0.25 * int(n_clusters == 3), 1),
+        legend_anchor=(1.75 + 0.25 * int(n_clusters == 3), 1),
         fig_length=6.0,
         fig_width=3.0,
     )
@@ -531,7 +531,7 @@ def main():
         clusters=df_fin.values.ravel(),
         cluster_ordering=data.diagnosis_list,
         slice_colors=data.cluster_colors,
-        legend_bbox_to_anchor=(1.75 + 0.25 * int(n_clusters == 3), 1),
+        legend_anchor=(1.75 + 0.25 * int(n_clusters == 3), 1),
         fig_length=6.0,
         fig_width=3.0,
     )

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""ADNI→MACC transfer: load the cached 3-cluster ADNI model and assign MACC
-participants under full / cognitive-only / final-snapshot input variants,
-with χ² contingency tests, pies and metric trajectories.
+"""ADNI→MACC transfer experiment.
 
-Behavioral equivalent of the reference driver
-(inference-train-adni-test-macc.py:32-302).  The MACC npz is not shipped
-(patient privacy, reference README.md:138-140) — the driver exits cleanly
-when the data are absent.
+Protocol (reference inference-train-adni-test-macc.py:32-302): load the
+cached 3-cluster ADNI fit, standardize MACC hidden states with the ADNI
+training parameters, assign each MACC participant a cluster under three
+input variants — full trajectories, cognitive-only (states masked), and
+final-visit snapshot — then report cluster prevalences, cluster×diagnosis
+χ² tests, pies, metric-trajectory figures, the visit-wise age-adjusted
+MMSE table for the LME stage, and demographic summaries.
+
+The MACC npz is not shipped (patient privacy, reference README.md:138-140)
+— the driver exits cleanly when the data are absent.
 """
 
 import glob
@@ -17,8 +21,6 @@ import sys
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-
-import jax
 
 from multimodal_trajectory_modeling_tpu import config as mtm_config
 
@@ -40,16 +42,188 @@ from multimodal_trajectory_modeling_tpu.utils import macc as data_macc
 from multimodal_trajectory_modeling_tpu.utils import post_hoc as util_ph
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
-pd.options.display.width = 79
-pd.options.display.max_columns = 1000
-pd.options.display.max_colwidth = 79
-pd.options.display.float_format = "{:,.3f}".format
-
-home_dir = os.getcwd()
-n_clusters = 3
-hex_hash = os.environ.get(
+N_CLUSTERS = 3
+# content hash of the winning ADNI 3-cluster fit (reference driver :29)
+ADNI_FIT_HASH = os.environ.get(
     "MTM_MACC_HEX_HASH", "49cb9120d3a1713763a0bdbdb97779bb"
 )
+# variant key → column name used in printed/saved tables
+VARIANT_LABELS = {
+    "all": "trajectories",
+    "moca_only": "cognitive_only",
+    "snapshot": "single_assessment",
+}
+FIGURES = "figures"
+META = "figure-metadata-macc"
+
+
+def load_adni_model(ztrain, xtrain):
+    """Most recent cached fit with the pinned content hash."""
+    candidates = sorted(
+        glob.glob(os.path.join("tmp", f"mmm-{ADNI_FIT_HASH}*")),
+        key=os.path.getmtime,
+    )
+    return MMLinGaussSS_marginalizable.from_pickle(
+        candidates[-1],
+        training_data={"states": ztrain, "observations": xtrain},
+    )
+
+
+def assign_variants(mdl, ztest, xtest, lengths) -> dict[str, np.ndarray]:
+    """Letter assignments under the three input-masking variants."""
+    last_visit = lengths - 1
+    variant_inputs = {
+        "all": (ztest, xtest),
+        "moca_only": (np.nan * ztest, xtest),
+        "snapshot": (
+            util.mask_all_but_time_i_vect(ztest, last_visit),
+            util.mask_all_but_time_i_vect(xtest, last_visit),
+        ),
+    }
+    out = {}
+    for key, (z, x) in variant_inputs.items():
+        raw = mdl.mle_cluster_assignment(states=z, observations=x)
+        out[key] = np.array([mdl.correspondence[c] for c in raw])
+    return out
+
+
+def diagnosis_crosstab(assignments, diagnoses, normalize="index"):
+    tab = pd.crosstab(
+        pd.Series(assignments, name="cluster"),
+        pd.Series(diagnoses, name="diagnosis"),
+        normalize=normalize,
+    )
+    return tab[data_macc.diagnosis_list]
+
+
+def report_prevalences(variants: dict, diagnoses: np.ndarray):
+    """Stacked per-variant outcome shares → CSV; prevalence table → stdout."""
+    shares = pd.concat(
+        [diagnosis_crosstab(a, diagnoses).stack() for a in variants.values()],
+        axis=1,
+    )
+    shares.columns = list(VARIANT_LABELS.values())
+    shares.to_csv(
+        os.path.join(META, "counts_by_cluster_and_outcome_macc.csv")
+    )
+
+    prevalence = pd.concat(
+        [
+            pd.Series(a).value_counts(normalize=True)[
+                list(string.ascii_uppercase[:N_CLUSTERS])
+            ]
+            for a in variants.values()
+        ],
+        axis=1,
+    )
+    prevalence.columns = list(VARIANT_LABELS.values())
+    print(prevalence)
+
+
+def report_chi2(key: str, assignments, diagnoses):
+    counts = pd.crosstab(
+        pd.Series(assignments, name="cluster"),
+        pd.Series(diagnoses, name="diagnosis"),
+    )[data_macc.diagnosis_list].values
+    stat, pval, dof, _ = sp_stats.chi2_contingency(counts)
+    print(
+        f"Pearson's χ^2 contingency test for {key}: "
+        f"stat={stat:.2f}, pval={pval:.2E}, dof={dof}"
+    )
+
+
+def emit_variant_figures(key, assignments, diagnoses, metrics_by_name):
+    """Pies (cluster- and diagnosis-keyed) + per-metric trajectory plots."""
+    anchor = (2.25 - 0.4 * int(N_CLUSTERS == 3), 1)
+    width = 4.0 + 0.5 * int(N_CLUSTERS == 3)
+
+    util.pie(
+        assignments=assignments,
+        savename=os.path.join(
+            FIGURES, f"MACC_{N_CLUSTERS}_overall_pie_{key}.pdf"
+        ),
+        colors=data_macc.cluster_colors,
+    )
+    util.pie(
+        assignments=diagnoses,
+        savename=os.path.join(
+            FIGURES, f"MACC_{N_CLUSTERS}_overall_pie_{key}_dx.pdf"
+        ),
+        colors=data_macc.diagnosis_colors,
+        cluster_ordering=data_macc.diagnosis_list,
+    )
+    util.pies_by_cluster(
+        savename=os.path.join(
+            FIGURES, f"MACC_{N_CLUSTERS}_pie_charts_{key}.pdf"
+        ),
+        categories=diagnoses,
+        category_ordering=data_macc.diagnosis_list,
+        category_legend_names={
+            "NCI": "CN",
+            "CIND": "mild MCI",
+            "VCIND": "moderate MCI",
+            "AD": "AD",
+        },
+        clusters=assignments,
+        legend_anchor=anchor,
+        fig_length=6.0,
+        fig_width=width,
+        halo_colors=data_macc.cluster_colors,
+        slice_colors=data_macc.diagnosis_colors,
+    )
+    util.pies_by_cluster(
+        savename=os.path.join(
+            FIGURES, f"MACC_{N_CLUSTERS}_pie_charts_{key}_dx.pdf"
+        ),
+        categories=assignments,
+        clusters=diagnoses,
+        cluster_ordering=data_macc.diagnosis_list,
+        halo_colors=data_macc.diagnosis_colors,
+        slice_colors=data_macc.cluster_colors,
+        legend_anchor=anchor,
+        fig_length=6.0,
+        fig_width=width,
+    )
+    for name, metric in metrics_by_name.items():
+        util.plot_metric_vs_clusters_over_time(
+            metric=metric.squeeze(),
+            assignments=assignments,
+            metric_name=name,
+            savename=os.path.join(
+                FIGURES,
+                f"MACC_trajectories_{util.slugify(name)}"
+                f"_all{N_CLUSTERS}c_{key}.pdf",
+            ),
+            title="",
+            xticks=np.array([0, 2, 4]),
+            xlabel="Years from baseline",
+            legend_loc="upper right",
+        )
+
+
+def visitwise_mmse_table(
+    ids, clusters, index_values, metrics_by_key, ages
+) -> pd.DataFrame:
+    """One row per (participant, visit) with the cluster/health-index of the
+    participant broadcast over visits — the frame the MACC LME stage reads.
+    MACC visits are biennial, hence ``time_in_years = 2 t``."""
+    n = ids.ravel().size
+    T = next(iter(metrics_by_key.values())).shape[0]
+    age_steps = np.vstack([np.zeros_like(ages[:1]), np.diff(ages, axis=0)])
+
+    columns = {
+        "cluster": np.repeat(clusters.ravel(), T),
+        "health_index": np.repeat(np.asarray(index_values).ravel(), T),
+    }
+    # per-visit series: (T, n) → participant-major, visit-minor
+    for key, series in metrics_by_key.items():
+        columns[key] = np.asarray(series).reshape(T, n).T.ravel()
+    columns["age"] = ages.reshape(T, n).T.ravel()
+    columns["time_in_years"] = np.tile(2 * np.arange(T), n)
+    columns["age_diff"] = age_steps.reshape(T, n).T.ravel()
+
+    frame = pd.DataFrame(columns, index=np.repeat(ids.ravel(), T))
+    return frame.loc[~frame.mmse.isna()].reset_index()
 
 
 def main():
@@ -60,218 +234,54 @@ def main():
         )
         return
 
-    ztrain_orig, xtrain, *_ = data_adni.get_trajectories()
-    ztrain, std_param = util.standardize(ztrain_orig, return_params=True)
+    pd.options.display.width = 79
+    pd.options.display.max_columns = 1000
+    pd.options.display.max_colwidth = 79
+    pd.options.display.float_format = "{:,.3f}".format
+    for d in (FIGURES, META, os.path.join("posthoc", "results")):
+        os.makedirs(d, exist_ok=True)
+
+    # ADNI training inputs fix the standardization applied to MACC states
+    ztrain_raw, xtrain, *_ = data_adni.get_trajectories()
+    ztrain, std_param = util.standardize(ztrain_raw, return_params=True)
     (
-        ztest_orig,
+        ztest_raw,
         xtest,
         dtest,
-        mmse_cdrsum_cdrglobal_test,
-        lengthtest,
-        idstest,
-        agestest,
+        mmse_cdr_stack,
+        lengths,
+        ids,
+        ages,
     ) = data_macc.get_data()
-    ztest = util.standardize(ztest_orig, params=std_param)
-    final_dx = data_macc.get_final_diagnoses(dtest)
-    demog = data_macc.get_demographics(idstest)
+    ztest = util.standardize(ztest_raw, params=std_param)
+    final_dx = data_macc.get_final_diagnoses(dtest).ravel()
+    demographics = data_macc.get_demographics(ids)
 
-    pfile = sorted(
-        glob.glob(os.path.join("tmp", f"mmm-{hex_hash}*")),
-        key=os.path.getmtime,
-    ).pop()
-    best_mdl = MMLinGaussSS_marginalizable.from_pickle(
-        pfile, training_data={"states": ztrain, "observations": xtrain}
-    )
-
-    def letters(assignments):
-        return np.array([best_mdl.correspondence[c] for c in assignments])
-
-    ctest_all = letters(
-        best_mdl.mle_cluster_assignment(states=ztest, observations=xtest)
-    )
-    indextest_all = best_mdl.cluster_assignment_index(
+    mdl = load_adni_model(ztrain, xtrain)
+    variants = assign_variants(mdl, ztest, xtest, lengths)
+    health_index = mdl.cluster_assignment_index(
         states=ztest, observations=xtest
     )
 
-    df_mmse = (
-        pd.DataFrame(
-            data={"cluster": ctest_all.ravel(), "health_index": indextest_all},
-            index=idstest.ravel(),
-        )
-        .join(
-            pd.DataFrame(
-                index=np.tile(idstest, (max(lengthtest), 1)).ravel(),
-                data=dict(
-                    zip(
-                        "mmse_cdrsum_cdrglobal".split("_"),
-                        map(
-                            np.ravel,
-                            np.split(mmse_cdrsum_cdrglobal_test, 3, axis=-1),
-                        ),
-                    )
-                )
-                | {
-                    "age": agestest.ravel(),
-                    "time_in_years": 2
-                    * np.repeat(np.arange(ztest.shape[0]), ztest.shape[1]),
-                    "age_diff": np.concatenate(
-                        [
-                            np.expand_dims(np.zeros_like(agestest[0]), axis=0),
-                            np.diff(agestest, axis=0),
-                        ],
-                        axis=0,
-                    ).ravel(),
-                },
-            )
-        )
-        .loc[lambda df: ~df.mmse.isna()]
-        .reset_index()
+    mmse, cdrsum, cdrglobal = map(
+        np.squeeze, np.split(mmse_cdr_stack, 3, axis=-1)
     )
 
-    ctest_snap = letters(
-        best_mdl.mle_cluster_assignment(
-            states=util.mask_all_but_time_i_vect(ztest, lengthtest - 1),
-            observations=util.mask_all_but_time_i_vect(
-                xtest, lengthtest - 1
-            ),
+    report_prevalences(variants, final_dx)
+    for key, assignments in variants.items():
+        report_chi2(key, assignments, final_dx)
+        emit_variant_figures(
+            key,
+            assignments,
+            final_dx,
+            {"MMSE": mmse, "CDR (sum)": cdrsum, "CDR (global)": cdrglobal},
         )
-    )
-    ctest_moca = letters(
-        best_mdl.mle_cluster_assignment(
-            states=np.nan * ztest, observations=xtest
-        )
-    )
-
-    os.makedirs("figure-metadata-macc", exist_ok=True)
-    os.makedirs("figures", exist_ok=True)
-    os.makedirs(os.path.join("posthoc", "results"), exist_ok=True)
-
-    pd.concat(
-        [
-            pd.crosstab(
-                pd.Series(cs, name="cluster"),
-                pd.Series(final_dx.ravel(), name="diagnosis"),
-                normalize="index",
-            )[data_macc.diagnosis_list].stack()
-            for cs in [ctest_all, ctest_moca, ctest_snap]
-        ],
-        axis=1,
-    ).rename(
-        columns={0: "trajectories", 1: "cognitive_only", 2: "single_assessment"}
-    ).to_csv(
-        os.path.join(
-            "figure-metadata-macc", "counts_by_cluster_and_outcome_macc.csv"
-        )
-    )
-
-    print(
-        pd.concat(
-            [
-                pd.Series(cs).value_counts(normalize=True)[
-                    list(string.ascii_uppercase[:n_clusters])
-                ]
-                for cs in [ctest_all, ctest_moca, ctest_snap]
-            ],
-            axis=1,
-        ).rename(
-            columns={
-                0: "trajectories",
-                1: "cognitive_only",
-                2: "single_assessment",
-            }
-        )
-    )
-
-    for ns, cs in {
-        "all": ctest_all,
-        "moca_only": ctest_moca,
-        "snapshot": ctest_snap,
-    }.items():
-        chi2 = sp_stats.chi2_contingency(
-            pd.crosstab(
-                pd.Series(cs, name="cluster"),
-                pd.Series(final_dx.ravel(), name="diagnosis"),
-            )[data_macc.diagnosis_list].values
-        )
-        print(
-            "Pearson's χ^2 contingency test for {}: ".format(ns)
-            + "stat={stat:.2f}, pval={pval:.2E}, dof={dof}".format(
-                stat=chi2[0], pval=chi2[1], dof=chi2[2]
-            )
-        )
-
-        util.pie(
-            assignments=cs,
-            savename=os.path.join(
-                "figures", f"MACC_{n_clusters}_overall_pie_{ns}.pdf"
-            ),
-            colors=data_macc.cluster_colors,
-        )
-        util.pie(
-            assignments=final_dx.ravel(),
-            savename=os.path.join(
-                "figures", f"MACC_{n_clusters}_overall_pie_{ns}_dx.pdf"
-            ),
-            colors=data_macc.diagnosis_colors,
-            cluster_ordering=data_macc.diagnosis_list,
-        )
-        util.pies_by_cluster(
-            savename=os.path.join(
-                "figures", f"MACC_{n_clusters}_pie_charts_{ns}.pdf"
-            ),
-            categories=final_dx.ravel(),
-            category_ordering=data_macc.diagnosis_list,
-            category_legend_names={
-                "NCI": "CN",
-                "CIND": "mild MCI",
-                "VCIND": "moderate MCI",
-                "AD": "AD",
-            },
-            clusters=cs,
-            legend_bbox_to_anchor=(2.25 - 0.4 * int(n_clusters == 3), 1),
-            fig_length=6.0,
-            fig_width=4.0 + 0.5 * int(n_clusters == 3),
-            halo_colors=data_macc.cluster_colors,
-            slice_colors=data_macc.diagnosis_colors,
-        )
-        util.pies_by_cluster(
-            savename=os.path.join(
-                "figures", f"MACC_{n_clusters}_pie_charts_{ns}_dx.pdf"
-            ),
-            categories=cs,
-            clusters=final_dx,
-            cluster_ordering=data_macc.diagnosis_list,
-            halo_colors=data_macc.diagnosis_colors,
-            slice_colors=data_macc.cluster_colors,
-            legend_bbox_to_anchor=(2.25 - 0.4 * int(n_clusters == 3), 1),
-            fig_length=6.0,
-            fig_width=4.0 + 0.5 * int(n_clusters == 3),
-        )
-
-        for name, met in dict(
-            zip(
-                ["MMSE", "CDR (sum)", "CDR (global)"],
-                np.split(mmse_cdrsum_cdrglobal_test, 3, axis=-1),
-            )
-        ).items():
-            util.plot_metric_vs_clusters_over_time(
-                metric=met.squeeze(),
-                assignments=cs,
-                metric_name=name,
-                savename=f"figures/"
-                f"MACC_trajectories_{util.make_str_nice(name)}"
-                f"_all{n_clusters}c_{ns}.pdf",
-                title="",
-                xticks=np.array([0, 2, 4]),
-                xlabel="Years from baseline",
-                legend_loc="upper right",
-            )
 
     util.histograms_by_cluster(
-        metrics=indextest_all.reshape(-1, 1),
-        clusters=ctest_all,
+        metrics=health_index.reshape(-1, 1),
+        clusters=variants["all"],
         savename=os.path.join(
-            "figures", f"MACC_{n_clusters}c_index_by_cluster.pdf"
+            FIGURES, f"MACC_{N_CLUSTERS}c_index_by_cluster.pdf"
         ),
         nbins=30,
         nrows=1,
@@ -283,7 +293,14 @@ def main():
         tighten=False,
     )
 
-    df_mmse.assign(
+    table = visitwise_mmse_table(
+        ids,
+        variants["all"],
+        health_index,
+        {"mmse": mmse, "cdrsum": cdrsum, "cdrglobal": cdrglobal},
+        ages,
+    )
+    table.assign(
         mmse_age_adjusted=lambda df: util_ph.regressed_out_effect_cv(
             df.mmse.values.reshape(-1, 1), df.age.values.reshape(-1, 1)
         )
@@ -294,15 +311,12 @@ def main():
         index=None,
     )
 
-    contingency = pd.crosstab(
-        pd.Series(ctest_all, name="cluster"),
-        pd.Series(final_dx.ravel(), name="diagnosis"),
-        normalize="index",
-    )[data_macc.diagnosis_list]
-    print(contingency.div(contingency.sum(axis=0), axis=1))
+    # column-normalized view of the row-normalized contingency table
+    shares = diagnosis_crosstab(variants["all"], final_dx)
+    print(shares.div(shares.sum(axis=0), axis=1))
 
     print(
-        demog.assign(cluster=ctest_all, age=agestest[0])
+        demographics.assign(cluster=variants["all"], age=ages[0])
         .groupby("cluster")
         .agg("mean")[["age", "is_female", "edu_yrs", "apoe4_pos"]]
     )

@@ -236,13 +236,13 @@ def today_str() -> str:
     return datetime.datetime.now(datetime.timezone.utc).date().isoformat()
 
 
-def make_str_nice(s: str) -> str:
+def slugify(s: str) -> str:
     s = re.sub("[^0-9a-zA-Z_]", "_", s.lower())
     return re.sub("_+", "_", s).strip(" _")
 
 
-def format_names(n_list: list[str], elide_at: int = 42) -> list[str]:
-    return [n.replace("_", " ")[:elide_at] for n in n_list]
+def tidy_labels(n_list: list[str], truncate_after: int = 42) -> list[str]:
+    return [n.replace("_", " ")[:truncate_after] for n in n_list]
 
 
 # --------------------------------------------------------------------------
@@ -309,7 +309,7 @@ def plot_metric_vs_clusters_over_time(
     xlim=None,
     ylim=None,
     legend_loc=None,
-    legend_bbox_to_anchor=(1.5, 1),
+    legend_anchor=(1.5, 1),
     colors=CLUSTER_COLORS,
     show: bool = False,
 ) -> None:
@@ -343,7 +343,7 @@ def plot_metric_vs_clusters_over_time(
         uniq.keys(),
         fontsize="large",
         loc=legend_loc if legend_loc is not None else plt.rcParams["legend.loc"],
-        bbox_to_anchor=legend_bbox_to_anchor,
+        bbox_to_anchor=legend_anchor,
     )
     plt.xticks(
         ticks=xticks if xticks is not None else range(n_timesteps),
@@ -494,7 +494,7 @@ def pies_by_cluster(
     nrows=None,
     ncols=None,
     slice_colors=None,
-    legend_bbox_to_anchor=(0.0, 0.0),
+    legend_anchor=(0.0, 0.0),
     fig_length=None,
     fig_width=None,
     halo_colors=None,
@@ -538,7 +538,7 @@ def pies_by_cluster(
         if category_legend_names is None
         else [category_legend_names[c] for c in category_labels],
         loc="upper right",
-        bbox_to_anchor=legend_bbox_to_anchor,
+        bbox_to_anchor=legend_anchor,
     )
     if fig_length is None or fig_width is None:
         fig.set_size_inches(ncols, nrows + 1, forward=True)
@@ -559,7 +559,7 @@ def pie(
     title: str = "",
     cluster_ordering=None,
     show: bool = False,
-    legend_bbox_to_anchor=(1.2, 1.0),
+    legend_anchor=(1.2, 1.0),
     colors=CLUSTER_COLORS,
 ):
     """Single pie of cluster prevalences (reference :928-984)."""
@@ -573,7 +573,7 @@ def pie(
     )
     ax.legend(
         patches, labels, loc="upper right",
-        bbox_to_anchor=legend_bbox_to_anchor,
+        bbox_to_anchor=legend_anchor,
     )
     if title is not None:
         ax.set_title(title, fontsize="large")
@@ -597,7 +597,7 @@ def plot_weighted_means_2d_trajectories(
     soft_assignment: bool = True,
     cov_alpha: float = 0.05,
     conf_thresh: float = 0.68,
-    elide_at: list = None,
+    truncate_after: list = None,
 ) -> None:
     """Weighted-mean 2-D latent trajectories with numeric HPD contour
     regions (reference :1154-1307)."""
@@ -614,8 +614,8 @@ def plot_weighted_means_2d_trajectories(
             else (weights.argmax(axis=1) == i).astype(int)
         )
         m_c, v_c = weighted_mean_and_covariance(values, prob_c)
-        if elide_at is not None and elide_at[i] is not None:
-            m_c, v_c = m_c[: elide_at[i]], v_c[: elide_at[i]]
+        if truncate_after is not None and truncate_after[i] is not None:
+            m_c, v_c = m_c[: truncate_after[i]], v_c[: truncate_after[i]]
 
         ax.quiver(
             m_c[:-1, 0].ravel(),
@@ -650,8 +650,8 @@ def plot_weighted_means_2d_trajectories(
         )
         n_steps = (
             values.shape[0]
-            if not elide_at or not elide_at[i]
-            else elide_at[i]
+            if not truncate_after or not truncate_after[i]
+            else truncate_after[i]
         )
         for t in range(n_steps):
             zval = sp_stats.multivariate_normal(mean=m_c[t], cov=v_c[t]).pdf(pos)

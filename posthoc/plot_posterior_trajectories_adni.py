@@ -48,7 +48,7 @@ def main():
             ylim=(-0.275, 0.025),
             soft_assignment=soft_assignment,
             arrow_width=0.5,
-            elide_at=[None, None, None, 3],
+            truncate_after=[None, None, None, 3],
         )
 
         st_sp.plot_weighted_means_2d_trajectories(
@@ -66,7 +66,7 @@ def main():
             ylim=(-0.275, 0.025),
             soft_assignment=soft_assignment,
             arrow_width=0.01,
-            elide_at=[None, None, None, 3],
+            truncate_after=[None, None, None, 3],
         )
 
 

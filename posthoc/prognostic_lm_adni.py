@@ -1,73 +1,107 @@
 #!/usr/bin/env python3
-"""Prognostic ridge models for Δ(age-adjusted MMSE) ~ baseline feature sets
-(reference posthoc/prognostic_lm_adni.py:24-86; expected outputs in its
-trailing docstring — headline: model index MSE 0.916 vs 1.136 for MMSE)."""
+"""Held-out prediction of annualized age-adjusted MMSE decline from
+baseline feature sets.
+
+Protocol (fixed by the reference experiment, posthoc/
+prognostic_lm_adni.py:24-86): Ridge(alpha=0.01) under 10-fold
+cross-validation scored by mean squared error, over single-feature models
+(the model-derived index, each biomarker, each cognitive score, raw MMSE)
+and the cognitive / biomarker / combined panels.  Expected headline from
+the reference transcript: the one-number model index predicts decline at
+MSE ≈ 0.916 vs 1.136 for baseline MMSE itself.
+"""
 
 import pathlib
 
 import numpy as np
 import pandas as pd
-import sklearn.linear_model as skl_lm
-import sklearn.model_selection as skl_mdl_sel
+import sklearn.linear_model
+import sklearn.model_selection
 
-pd.options.display.width = 88
-pd.options.display.max_columns = 1000
-pd.options.display.max_rows = 1000
-pd.options.display.max_colwidth = 100
-pd.options.display.float_format = "{:,.3f}".format
+HERE = pathlib.Path(__file__).absolute().parent
+RESULTS = HERE / "results"
 
-whereami = pathlib.Path(__file__).absolute().parent
+TARGET = "ann_mmse_change_age_adjusted"
+MODEL_INDEX = ("our_index_snapshot_init",)
+COGNITIVE = ("adni_mem_init", "adni_ef_init", "moca_init", "adas13_init")
+BIOMARKER = ("amyloid_init", "gm_init")
+RIDGE_ALPHA = 0.01
+N_FOLDS = 10
+ABBREV = 6  # feature names are elided to 6 chars in tables
+
+
+def candidate_feature_sets() -> list[tuple[str, ...]]:
+    """The model-comparison grid: every feature alone, then the panels."""
+    singles = [
+        MODEL_INDEX,
+        *((b,) for b in BIOMARKER),
+        *((c,) for c in COGNITIVE),
+        ("mmse_init",),
+    ]
+    panels = [COGNITIVE, BIOMARKER, COGNITIVE + BIOMARKER]
+    return singles + panels
+
+
+def crossval_mse(frame: pd.DataFrame, features: tuple[str, ...]) -> np.ndarray:
+    """Per-fold held-out MSE of a ridge fit of the target on `features`."""
+    neg_mse = sklearn.model_selection.cross_val_score(
+        sklearn.linear_model.Ridge(alpha=RIDGE_ALPHA),
+        frame[list(features)].values,
+        frame[TARGET].values.reshape(-1, 1),
+        cv=N_FOLDS,
+        scoring="neg_mean_squared_error",
+    )
+    return -neg_mse
+
+
+def summarize(per_fold: dict) -> pd.DataFrame:
+    """Mean ± standard error per feature set, worst model first (the
+    reference transcript's ordering)."""
+    table = pd.DataFrame(
+        {
+            "avg. MSE": {k: float(np.mean(v)) for k, v in per_fold.items()},
+            "std. err.": {
+                k: float(np.std(v) / np.sqrt(len(v)))
+                for k, v in per_fold.items()
+            },
+        }
+    )
+    table = table.rename_axis("variables", axis="columns")
+    return table.sort_values("avg. MSE", ascending=False)
+
+
+def fold_records(per_fold: dict) -> pd.DataFrame:
+    """Long-form (feature set, fold, score) table for downstream paired
+    comparisons (consumed by prognostic_lm_comp_adni.py)."""
+    rows = [
+        (key, fold, mse)
+        for key, folds in per_fold.items()
+        for fold, mse in enumerate(folds)
+    ]
+    return pd.DataFrame(rows, columns=["variables", "batch", "MSE"])
 
 
 def main():
-    data = pd.read_csv(
-        whereami.joinpath("results", "prognostics_all.csv"), index_col=0
-    )
-    data = data.loc[~data.isna().any(axis=1)]
+    pd.options.display.width = 88
+    pd.options.display.max_columns = 1000
+    pd.options.display.max_rows = 1000
+    pd.options.display.max_colwidth = 100
+    pd.options.display.float_format = "{:,.3f}".format
 
-    cog_init = ["adni_mem_init", "adni_ef_init", "moca_init", "adas13_init"]
-    bio_init = ["amyloid_init", "gm_init"]
+    frame = pd.read_csv(RESULTS / "prognostics_all.csv", index_col=0)
+    frame = frame.loc[~frame.isna().any(axis=1)]
 
-    cv_mse = {
-        tuple(v[:6] for v in c): -skl_mdl_sel.cross_val_score(
-            skl_lm.Ridge(alpha=0.01),
-            data[c].values,
-            data.ann_mmse_change_age_adjusted.values.reshape(-1, 1),
-            cv=10,
-            scoring="neg_mean_squared_error",
-        )
-        for c in [
-            ["our_index_snapshot_init"],
-            *[[b] for b in bio_init],
-            *[[c] for c in cog_init],
-            ["mmse_init"],
-            cog_init,
-            bio_init,
-            cog_init + bio_init,
-        ]
+    per_fold = {
+        tuple(f[:ABBREV] for f in fs): crossval_mse(frame, fs)
+        for fs in candidate_feature_sets()
     }
 
     print("-" * 79)
     print("Models by MSE:")
-    print(
-        pd.DataFrame.from_dict(
-            data={
-                k: [np.mean(v), np.std(v) / np.sqrt(len(v))]
-                for k, v in cv_mse.items()
-            },
-            columns=["avg. MSE", "std. err."],
-            orient="index",
-        )
-        .rename_axis("variables", axis="columns")
-        .sort_values("avg. MSE", ascending=False)
-    )
+    print(summarize(per_fold))
 
-    pd.DataFrame.from_records(
-        data=[(k, i, c) for k, v in cv_mse.items() for i, c in enumerate(v)],
-        columns=["variables", "batch", "MSE"],
-        index="variables",
-    ).to_csv(
-        whereami.joinpath("results", "paired_prognostic_mse_from_baseline.csv"),
+    fold_records(per_fold).set_index("variables").to_csv(
+        RESULTS / "paired_prognostic_mse_from_baseline.csv",
         index_label="variables",
     )
 
