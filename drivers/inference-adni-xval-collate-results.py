@@ -606,6 +606,15 @@ def main():
                 ]
             ]
         )
+        # the reference environment's pandas (1.4) regrouped rows by the
+        # duplicated id index during this join, leaving df_results0
+        # id-major (all of a participant's visits contiguous); modern
+        # pandas preserves the time-major left order.  The downstream
+        # mmse age adjustment is an unshuffled 5-fold cross_val_predict,
+        # so the published LME table (posthoc/lme_mmse_adni.R comments:
+        # REML criterion 6015.3, interaction F=64.127) depends on this
+        # exact ordering — reproduce it.
+        .sort_index(kind="stable")
     )
     df_final = (
         df_results0.assign(years=lambda df: 2 * df.time)

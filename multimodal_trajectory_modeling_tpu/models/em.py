@@ -151,7 +151,7 @@ def estep_logliks(
     pattern_id: jax.Array,
     *,
     T: int,
-    method: str = "solve",
+    method: str = "auto",
 ) -> jax.Array:
     """``(C, n)`` per-cluster conditional log-likelihoods of every instance.
 
@@ -212,7 +212,7 @@ def observed_logliks(
     pattern_id: jax.Array,
     *,
     T: int,
-    method: str = "solve",
+    method: str = "auto",
 ) -> jax.Array:
     """``(C, n)`` observed-only conditional log-likelihoods (reference
     ``observed_condl_log_lik_first_T0_steps``, mixture:997-1048)."""
@@ -398,7 +398,7 @@ def complete_data_loglik(
     pattern_id: jax.Array,
     *,
     T: int,
-    method: str = "solve",
+    method: str = "auto",
 ) -> jax.Array:
     """Hard-assignment expected complete-data log-likelihood Q with a fresh
     E assignment (reference ``e_complete_data_log_lik``, mixture:579-624)."""
@@ -417,7 +417,7 @@ def model_loglik(
     pattern_id: jax.Array,
     *,
     T: int,
-    method: str = "solve",
+    method: str = "auto",
 ) -> jax.Array:
     """Mixture marginal log-likelihood ``Σ_i log Σ_c π_c L_ci`` via logsumexp
     (reference ``model_log_likelihood``, mixture:626-666, which exponentiates
@@ -450,7 +450,7 @@ def train_em(
     n_steps: int = 1000,
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
-    method: str = "solve",
+    method: str = "auto",
     min_members: int = 3,
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """One full EM run; replicates ``train``
@@ -628,7 +628,7 @@ def train_em_multistart(
     n_steps: int = 100,
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
-    method: str = "solve",
+    method: str = "auto",
     min_members: int = 3,
 ):
     """Vmapped multi-start training: ``params0`` / ``assign0`` carry a leading

@@ -121,15 +121,25 @@ class MMLinGaussSS_marginalizable:
                 first_state,
                 np.nanmean(first_state, axis=0, keepdims=True),
             )
+            # n_init=10 pins the reference environment's behavior
+            # (scikit-learn 1.3.x default; >=1.4 switched to 'auto' = 1 run,
+            # which changes the kmeans-seeded baseline and hence which
+            # multistart candidate wins on some folds)
             self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=C, init="k-means++", random_state=self.random_seed
+                n_clusters=C,
+                init="k-means++",
+                n_init=10,
+                random_state=self.random_seed,
             ).fit_predict(first_state)
         elif self.init in ("kmeans-all", "k-means-all"):
             flat = np.stack(
                 [self.states[:, i, :].ravel() for i in range(self.n_data)]
             )
             self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=C, init="k-means++", random_state=self.random_seed
+                n_clusters=C,
+                init="k-means++",
+                n_init=10,
+                random_state=self.random_seed,
             ).fit_predict(flat)
         else:
             self.cluster_assignment = self.rng.integers(
@@ -838,6 +848,39 @@ class MMLinGaussSS_marginalizable:
                     alpha=self.alpha,
                 )
             )
+
+        if verbose:
+            # the reference forwards verbosity into every candidate's
+            # train() (mixture:1444-1455); the vmapped batch below cannot
+            # print per-candidate Q sequences, so verbose multistart runs
+            # the candidates host-stepped, reproducing the transcript
+            # exactly (constructor RNG draws happened above, in reference
+            # order; training consumes no global randomness, so the
+            # sequential replay is stream-equivalent)
+            best_mdl = candidates[0]
+            try:
+                best_mdl = best_mdl.train(verbose=True, n_steps=n_steps)
+            except Exception:  # noqa: BLE001 — degenerate start, keep going
+                pass
+            objective_list = [best_mdl.e_complete_data_log_lik()]
+            for cand in candidates[1:]:
+                try:
+                    mdl = cand.train(verbose=True, n_steps=n_steps)
+                    objective_list.append(mdl.e_complete_data_log_lik())
+                    if (
+                        mdl.e_complete_data_log_lik()
+                        > best_mdl.e_complete_data_log_lik()
+                    ):
+                        best_mdl = mdl
+                except Exception:  # noqa: BLE001
+                    pass
+            if not np.isfinite(best_mdl.e_complete_data_log_lik()):
+                raise Exception("training failed")
+            if use_cache:
+                best_mdl.to_pickle()
+            if return_objectives:
+                return best_mdl, np.array(objective_list)
+            return best_mdl
 
         _T0, z, x, v, patterns, pid = self._packed(None, None)
         reg_mode = "ridge" if self.alpha > 2 * np_eps else "lstsq"

@@ -99,27 +99,34 @@ def _parallel_restarts(
     import sys
     import tempfile
 
+    # children must import this package regardless of cwd: prepend the
+    # package parent to PYTHONPATH, preserving whatever is already there
+    # (e.g. backend plugin paths that jax needs at import time)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [home_dir] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+
     chunks = [list(range(w, n_restarts, n_jobs)) for w in range(n_jobs)]
     procs = []
     tmpdir = tempfile.mkdtemp(prefix="mtm_restarts_")
     for w, chunk in enumerate(c for c in chunks if c):
         path = os.path.join(tmpdir, f"chunk{w}.pkl")
+        payload = (
+            states,
+            observations,
+            n_clusters,
+            component_model,
+            hyperparams,
+            chunk,
+            n_iter,
+        )
         with open(path, "wb") as f:
-            pickle.dump(
-                (
-                    states,
-                    observations,
-                    n_clusters,
-                    component_model,
-                    hyperparams,
-                    chunk,
-                    n_iter,
-                ),
-                f,
-            )
+            pickle.dump(payload, f)
         procs.append(
             (
                 path,
+                payload,
                 subprocess.Popen(
                     [
                         sys.executable,
@@ -129,21 +136,26 @@ def _parallel_restarts(
                         f"_subprocess_entry({path!r})",
                     ],
                     cwd=home_dir,
+                    env=env,
                 ),
             )
         )
     results = {}
-    for path, proc in procs:
+    for path, payload, proc in procs:
         proc.wait()
         out_path = path + ".out"
         if proc.returncode == 0 and os.path.exists(out_path):
             with open(out_path, "rb") as f:
                 results.update(pickle.load(f))
         else:
+            # a dead worker must not silently change the multistart winner:
+            # replay its chunk sequentially in this process (identical
+            # per-seed protocol, just not parallel)
             warnings.warn(
-                f"restart worker exited with {proc.returncode}; its chunk "
-                "is treated as failed starts"
+                f"restart worker exited with {proc.returncode}; replaying "
+                "its chunk sequentially"
             )
+            results.update(_restart_worker(payload))
     return results
 
 
@@ -311,11 +323,17 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
 
         if init in ("k-means", "kmeans"):
             self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters, init="k-means++", random_state=0
+                n_clusters=self.n_clusters,
+                init="k-means++",
+                n_init=10,
+                random_state=0,
             ).fit_predict(self.states[0])
         elif init in ("kmeans-all", "k-means-all"):
             self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters, init="k-means++", random_state=0
+                n_clusters=self.n_clusters,
+                init="k-means++",
+                n_init=10,
+                random_state=0,
             ).fit_predict(
                 np.stack(
                     [self.states[:, i, :].ravel() for i in range(self.n_data)]
@@ -323,7 +341,10 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
             )
         elif init in ("kmeans-take-finite", "k-means-take-finite"):
             self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters, init="k-means++", random_state=0
+                n_clusters=self.n_clusters,
+                init="k-means++",
+                n_init=10,
+                random_state=0,
             ).fit_predict(
                 np.column_stack(util.take_finite_along_axis(self.states, 0))
             )

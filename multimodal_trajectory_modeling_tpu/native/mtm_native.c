@@ -15,6 +15,7 @@
 
 #include <math.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #ifdef _OPENMP
@@ -61,15 +62,18 @@ static int mask_equal(const double *row, const uint8_t *mask, int64_t D) {
 int64_t pattern_groups_f64(const double *v, int64_t n, int64_t D,
                            uint8_t *patterns_out, int32_t *pattern_id_out,
                            int64_t max_patterns) {
-  /* table size: next power of two ≥ 4*max_patterns */
+  /* table size: next power of two ≥ 4*max_patterns, so the open-addressed
+   * table stays under 25% load and probes stay short */
   int64_t tsize = 64;
   while (tsize < 4 * max_patterns) tsize <<= 1;
-  /* stack-free scratch: caller guarantees max_patterns small; allocate on
-   * heap via VLA-ish fixed cap */
-  enum { CAP = 1 << 16 };
-  static int64_t slot_pattern[CAP]; /* pattern index per slot or -1 */
-  static uint64_t slot_hash[CAP];
-  if (tsize > CAP) tsize = CAP;
+  /* heap-allocated per-call scratch: reentrant/thread-safe, no size cap */
+  int64_t *slot_pattern = malloc((size_t)tsize * sizeof(int64_t));
+  uint64_t *slot_hash = malloc((size_t)tsize * sizeof(uint64_t));
+  if (!slot_pattern || !slot_hash) {
+    free(slot_pattern);
+    free(slot_hash);
+    return -2; /* allocation failure */
+  }
   for (int64_t s = 0; s < tsize; ++s) slot_pattern[s] = -1;
 
   int64_t n_patterns = 0;
@@ -80,7 +84,11 @@ int64_t pattern_groups_f64(const double *v, int64_t n, int64_t D,
     int32_t id = -1;
     for (;;) {
       if (slot_pattern[s] < 0) {
-        if (n_patterns >= max_patterns) return -1;
+        if (n_patterns >= max_patterns) {
+          free(slot_pattern);
+          free(slot_hash);
+          return -1;
+        }
         uint8_t *pat = patterns_out + n_patterns * D;
         for (int64_t j = 0; j < D; ++j) pat[j] = isfinite(row[j]) ? 1 : 0;
         slot_pattern[s] = n_patterns;
@@ -98,6 +106,8 @@ int64_t pattern_groups_f64(const double *v, int64_t n, int64_t D,
     }
     pattern_id_out[i] = id;
   }
+  free(slot_pattern);
+  free(slot_hash);
   return n_patterns;
 }
 

@@ -155,7 +155,7 @@ def masked_mvn_logpdf_grouped(
     patterns: jax.Array,
     pattern_id: jax.Array,
     *,
-    method: str = "solve",
+    method: str = "auto",
 ) -> jax.Array:
     """Pattern-grouped masked Gaussian log-density (production E-step path).
 
@@ -166,13 +166,26 @@ def masked_mvn_logpdf_grouped(
     - ``method="inverse"``: precompute ``Σ'^{-1}`` per pattern and evaluate
       the quadratic form as ``rowsum((r @ Σ'^{-1}) ⊙ r)`` — a pure MXU GEMM,
       the speed-of-light path for large n.
+    - ``method="bucketed"``: per-pattern inverses, but each row contracts
+      only against *its own* pattern's inverse (a chunked gather), so work
+      is O(P·D³ + n·D²) instead of the solve/inverse paths' O(n·P·D²) —
+      the right path for unstructured missingness where P grows with n.
+      Matches the reference's per-row sub-block evaluation cost model
+      (marginalizable_state_space_model.py:747-773).
+    - ``method="auto"``: ``"solve"`` while ``P ≤ max(8, D)`` (bit-identical
+      to the parity path in that regime), ``"bucketed"`` beyond it.  The
+      dispatch is on static shapes, so it is jit-stable.
 
-    Both are algebraically identical to the reference's masked-submatrix
-    evaluation; rows whose finite-mask is not represented in ``patterns``
-    are undefined (callers build patterns from the same data).
+    All methods are algebraically identical to the reference's
+    masked-submatrix evaluation; rows whose finite-mask is not represented
+    in ``patterns`` are undefined (callers build patterns from the same
+    data).
     """
     x = jnp.atleast_2d(x)
     n, D = x.shape
+    P = patterns.shape[0]
+    if method == "auto":
+        method = "solve" if P <= max(8, D) else "bucketed"
     f = patterns.astype(cov.dtype)  # (P, D)
     k = jnp.sum(f, axis=-1)  # (P,)
     covm = jax.vmap(lambda fp: masked_identity_pad(cov, fp))(f)  # (P, D, D)
@@ -184,7 +197,22 @@ def masked_mvn_logpdf_grouped(
     finite = jnp.isfinite(x)
     r = jnp.where(finite, x - mean, 0.0)  # (n, D)
 
-    if method == "inverse":
+    if method == "bucketed":
+        eye = jnp.eye(D, dtype=cov.dtype)
+        inv = jax.vmap(
+            lambda Lp: jax.scipy.linalg.cho_solve((Lp, True), eye)
+        )(Lc)  # (P, D, D)
+        B = min(4096, n)  # chunk rows to bound the (B, D, D) gather
+        pad = (-n) % B
+        r_c = jnp.pad(r, ((0, pad), (0, 0))).reshape(-1, B, D)
+        id_c = jnp.pad(pattern_id, (0, pad)).reshape(-1, B)
+
+        def _chunk(args):
+            rc, pc = args
+            return jnp.einsum("nd,nde,ne->n", rc, inv[pc], rc)
+
+        q = jax.lax.map(_chunk, (r_c, id_c)).reshape(-1)[:n]
+    elif method == "inverse":
         eye = jnp.eye(D, dtype=cov.dtype)
         inv = jax.vmap(
             lambda Lp: jax.scipy.linalg.cho_solve((Lp, True), eye)

@@ -131,7 +131,7 @@ def train_em_shardmap(
     n_steps: int = 100,
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
-    method: str = "solve",
+    method: str = "auto",
     min_members: int = 3,
 ):
     """Route 2: the EM while-loop inside ``shard_map(..., axis='data')``.
@@ -302,7 +302,7 @@ def train_em_multistart_2d(
     n_steps: int = 100,
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
-    method: str = "solve",
+    method: str = "auto",
     min_members: int = 3,
     seed: int = 0,
 ):

@@ -57,14 +57,13 @@ def crossval_mse(frame: pd.DataFrame, features: tuple[str, ...]) -> np.ndarray:
 def summarize(per_fold: dict) -> pd.DataFrame:
     """Mean ± standard error per feature set, worst model first (the
     reference transcript's ordering)."""
-    table = pd.DataFrame(
+    table = pd.DataFrame.from_dict(
         {
-            "avg. MSE": {k: float(np.mean(v)) for k, v in per_fold.items()},
-            "std. err.": {
-                k: float(np.std(v) / np.sqrt(len(v)))
-                for k, v in per_fold.items()
-            },
-        }
+            k: [float(np.mean(v)), float(np.std(v) / np.sqrt(len(v)))]
+            for k, v in per_fold.items()
+        },
+        columns=["avg. MSE", "std. err."],
+        orient="index",
     )
     table = table.rename_axis("variables", axis="columns")
     return table.sort_values("avg. MSE", ascending=False)

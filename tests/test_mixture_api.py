@@ -304,3 +304,38 @@ def test_train_fast_matches_default(synth):
     assert np.isclose(
         a.e_complete_data_log_lik(), b.e_complete_data_log_lik()
     )
+
+
+def test_verbose_multistart_transcript_and_same_winner(synth, capsys):
+    """verbose=True must forward per-candidate Q prints (reference
+    mixture:1444-1455 trains every candidate with verbose) and pick the
+    same winner as the batched silent path."""
+    quiet = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=synth["z"],
+        observations=synth["x"],
+        init="kmeans",
+    ).train_with_multiple_random_starts(n_starts=2, use_cache=False)
+    loud = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=synth["z"],
+        observations=synth["x"],
+        init="kmeans",
+    ).train_with_multiple_random_starts(
+        n_starts=2, use_cache=False, verbose=True
+    )
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    # transcript shape: rounded Q floats interleaved with terminal lines
+    n_q = sum(1 for ln in lines if ln.lstrip("-").replace(".", "").isdigit())
+    n_done = sum(1 for ln in lines if ln.startswith("Optimisation completed"))
+    n_empty = sum(1 for ln in lines if "near-empty" in ln)
+    assert n_q > 0 and (n_done + n_empty) >= 1
+    np.testing.assert_allclose(
+        loud.e_complete_data_log_lik(),
+        quiet.e_complete_data_log_lik(),
+        rtol=1e-10,
+    )
+    np.testing.assert_array_equal(
+        loud.cluster_assignment, quiet.cluster_assignment
+    )

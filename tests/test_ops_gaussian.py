@@ -5,6 +5,7 @@ Mirrors the reference's marginalization self-tests
 
 import numpy as np
 import scipy.stats as sp_stats
+import jax
 import jax.numpy as jnp
 
 from multimodal_trajectory_modeling_tpu import ops
@@ -137,3 +138,71 @@ def test_full_logprob_equals_composite_factorization():
     for t in range(T):
         composite += sp_stats.multivariate_normal(cov=L).logpdf(x[t] - z[t] @ H)
     np.testing.assert_allclose(analytic, composite, rtol=1e-8, atol=1e-8)
+
+
+def test_bucketed_matches_general_unstructured_missingness():
+    """Unstructured missingness (P ≈ 200 distinct patterns): the bucketed
+    path and the auto dispatch must agree with the per-row oracle."""
+    rng = np.random.default_rng(5)
+    x, mean, cov = _case(rng, n=2000, D=32)
+    D = x.shape[1]
+    # ~200 random masks, each dropping a random subset of coordinates
+    masks = rng.uniform(size=(200, D)) < rng.uniform(0.1, 0.6, size=(200, 1))
+    which = rng.integers(0, len(masks), size=len(x))
+    x[masks[which]] = np.nan
+    patterns, pid = ops.pattern_groups(x)
+    assert len(patterns) > 150  # genuinely unstructured
+    want = _scipy_masked_logpdf(x, mean, cov)
+    for method in ("bucketed", "auto"):
+        got = np.asarray(
+            ops.masked_mvn_logpdf_grouped(
+                jnp.asarray(x),
+                jnp.asarray(mean),
+                jnp.asarray(cov),
+                jnp.asarray(patterns),
+                jnp.asarray(pid),
+                method=method,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_bucketed_work_does_not_scale_with_patterns():
+    """The bucketed path's per-row flop count must be independent of P:
+    count HLO flops via XLA's cost analysis at P=8 vs P=256 and require the
+    P=256 cost to stay far below the n·P·D² of the solve path."""
+    rng = np.random.default_rng(6)
+    n = 4096
+    x, mean, cov = _case(rng, n=n, D=32)
+    D = x.shape[1]
+
+    def compiled_flops(P, method):
+        masks = np.zeros((P, D), dtype=bool)
+        masks[:, : D // 2] = rng.uniform(size=(P, D // 2)) < 0.5
+        masks[0] = False
+        patterns = np.unique(masks, axis=0)
+        pid = rng.integers(0, len(patterns), size=n).astype(np.int32)
+        fn = jax.jit(
+            lambda xv: ops.masked_mvn_logpdf_grouped(
+                xv,
+                jnp.asarray(mean),
+                jnp.asarray(cov),
+                jnp.asarray(patterns),
+                jnp.asarray(pid),
+                method=method,
+            )
+        )
+        comp = fn.lower(jnp.asarray(x)).compile()
+        stats = comp.cost_analysis()
+        if isinstance(stats, list):
+            stats = stats[0]
+        return float(stats.get("flops", 0.0)), len(patterns)
+
+    f_small, p_small = compiled_flops(8, "bucketed")
+    f_big, p_big = compiled_flops(256, "bucketed")
+    f_solve, _ = compiled_flops(256, "solve")
+    assert p_big > 8 * p_small
+    # bucketed: per-row work flat in P (only the P·D³ factor stage grows)
+    assert f_big < 3.0 * f_small + 2.0 * p_big * D**3
+    # and far below the solve path's n·P·D² blow-up
+    assert f_big < 0.25 * f_solve
