@@ -248,13 +248,22 @@ def estep_assign_sorted(
     sizes: tuple,
     T: int,
     interpret: bool = None,
+    bf16: bool = False,
+    v_sorted_t: jax.Array = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused E-step over a pattern-sorted batch: returns
     ``(assign, counts, switches)`` directly from the kernel — the
     (C, n) log-likelihood matrix never touches HBM.  Same assignments as
     ``assignments_from_logliks(pi, estep_logliks_sorted(...))`` up to
     floating-point reassociation of the expanded quadratic form
-    (ops/pallas_estep.py:estep_assign_pattern_sorted)."""
+    (ops/pallas_estep.py:estep_assign_pattern_sorted); ``bf16`` selects
+    the bench-mode bfloat16-operand GEMMs (f32 accumulation).
+
+    Pass ``v_sorted_t`` (the pre-transposed ``(D, n)`` copy of
+    ``v_sorted``) to route the transposed kernel — ~1.8× the row-major
+    kernel on TPU (6.9 ms vs 12.3 ms at n=1e6, C=16, D=80) because the
+    segment-reduction GEMM gets the batch on its lane axis.  Callers
+    should hoist the transpose out of the EM loop."""
     from multimodal_trajectory_modeling_tpu.ops import pallas_estep
 
     if interpret is None:
@@ -263,6 +272,19 @@ def estep_assign_sorted(
     minv, const = pallas_estep.precompute_cluster_pattern_inverses(
         means, covs, patterns
     )
+    if v_sorted_t is not None:
+        return pallas_estep.estep_assign_pattern_sorted_t(
+            v_sorted_t,
+            prev_assign,
+            means,
+            minv,
+            const,
+            jnp.log(params.pi),
+            patterns,
+            sizes=sizes,
+            interpret=interpret,
+            bf16=bf16,
+        )
     return pallas_estep.estep_assign_pattern_sorted(
         v_sorted,
         prev_assign,
@@ -273,6 +295,7 @@ def estep_assign_sorted(
         patterns,
         sizes=sizes,
         interpret=interpret,
+        bf16=bf16,
     )
 
 
@@ -560,6 +583,10 @@ def train_em_sorted(
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
 
+    # loop-invariant transposed copy for the fast E kernel (hoisted: the
+    # while_loop closure captures it, so the transpose runs once)
+    v_t = jnp.swapaxes(v, 0, 1)
+
     def _mstep(a):
         return mstep_sorted(
             v,
@@ -593,6 +620,7 @@ def train_em_sorted(
             sizes=sizes,
             T=T,
             interpret=interpret,
+            v_sorted_t=v_t,
         )
         converged = switches == 0
         empty = (~converged) & (jnp.min(counts) <= min_members)

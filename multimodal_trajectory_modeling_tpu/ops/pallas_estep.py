@@ -34,6 +34,7 @@ __all__ = [
     "estep_logliks_pallas",
     "estep_logliks_pattern_sorted",
     "estep_assign_pattern_sorted",
+    "estep_assign_pattern_sorted_t",
     "precompute_cluster_pattern_inverses",
 ]
 
@@ -208,7 +209,7 @@ def estep_logliks_pattern_sorted(
     return jnp.concatenate(outs, axis=0).T  # (C, n)
 
 
-def _estep_assign_kernel(C: int, D: int):
+def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
     """Fused single-pattern E-step: ONE fat quadratic-form GEMM for all C
     clusters + in-kernel argmax, membership counts and switch count.
 
@@ -220,6 +221,11 @@ def _estep_assign_kernel(C: int, D: int):
     never written to HBM: assignments, counts and switches leave the
     kernel directly (reference E-step consumers,
     marginalizable_mixture_model.py:1235-1252).
+
+    ``bf16=True`` feeds the two quadratic-form GEMMs bfloat16 operands with
+    float32 accumulation (``preferred_element_type``) — 2× MXU rate on the
+    dominant vᵀM GEMM.  The argmax/count/switch logic stays exact int32;
+    only the scores carry bf16 input-rounding noise.
     """
 
     def kernel(
@@ -236,14 +242,27 @@ def _estep_assign_kernel(C: int, D: int):
         Bn = v.shape[0]
         dtype = v.dtype
         vm = jnp.where(jnp.isfinite(v), v, 0.0)
-        Y = jnp.dot(vm, mcat_ref[:, :], preferred_element_type=dtype)
+        if bf16:
+            vg = vm.astype(jnp.bfloat16)
+            mc = mcat_ref[:, :].astype(jnp.bfloat16)
+            ln = lin_ref[:, :].astype(jnp.bfloat16)
+        else:
+            vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
+        Y = jnp.dot(vg, mc, preferred_element_type=dtype)
+        # segment reduction (C·D → C): q_c = Σ_d Y_cd·v_d as a 0/1 GEMM.
+        # Only C=16 output lanes (~12% MXU utilization) but measured faster
+        # than VPU lane-slice sums, which force costly relayouts; the
+        # transposed kernel (_estep_assign_kernel_t) fixes the utilization
+        # properly by putting Bn on the lane axis.
         rep = pltpu.repeat(vm, C, axis=1)  # (Bn, C*D)
-        # lane-segmented reduction (C*D → C) as a 0/1 GEMM
         kc = jax.lax.broadcasted_iota(jnp.int32, (C * D, C), 0) // D
         cc = jax.lax.broadcasted_iota(jnp.int32, (C * D, C), 1)
-        Ssum = (kc == cc).astype(dtype)
-        q = jnp.dot(Y * rep, Ssum, preferred_element_type=dtype)  # (Bn, C)
-        qlin = jnp.dot(vm, lin_ref[:, :], preferred_element_type=dtype)
+        prod = Y * rep
+        if bf16:
+            prod = prod.astype(jnp.bfloat16)
+        Ssum = (kc == cc).astype(prod.dtype)
+        q = jnp.dot(prod, Ssum, preferred_element_type=dtype)  # (Bn, C)
+        qlin = jnp.dot(vg, ln, preferred_element_type=dtype)
         scores = c2_ref[0, :] - 0.5 * q + qlin  # (Bn, C)
 
         na = jnp.argmax(scores, axis=1).astype(jnp.int32)  # first-max
@@ -283,6 +302,7 @@ def estep_assign_pattern_sorted(
     sizes: tuple,
     block_n: int = 1024,
     interpret: bool = False,
+    bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused E-step over a pattern-sorted batch: returns
     ``(assign (n,) int32, counts (C,) int32, switches () int32)`` without
@@ -292,7 +312,10 @@ def estep_assign_pattern_sorted(
     :func:`..models.em.assignments_from_logliks`) up to floating-point
     reassociation of the expanded quadratic form; ``counts`` equals
     ``bincount(assign, length=C)`` and ``switches`` equals
-    ``sum(assign != prev_assign)`` exactly.
+    ``sum(assign != prev_assign)`` exactly.  ``bf16=True`` runs the
+    quadratic-form GEMMs on bfloat16 operands with f32 accumulation
+    (bench-mode; argmax can flip for rows whose top-2 scores are within
+    the bf16 input-rounding noise).
     """
     n, D = v.shape
     C, P = const.shape
@@ -325,7 +348,7 @@ def estep_assign_pattern_sorted(
             )
         s_pad = vp.shape[0]
         a_out, c_out, w_out = pl.pallas_call(
-            _estep_assign_kernel(C, D),
+            _estep_assign_kernel(C, D, bf16=bf16),
             grid=(s_pad // block_n,),
             in_specs=[
                 pl.BlockSpec((block_n, D), lambda i: (i, 0)),
@@ -353,6 +376,158 @@ def estep_assign_pattern_sorted(
             c2[p],
         )
         assigns.append(a_out[:s, 0])
+        counts = counts + c_out[0]
+        switches = switches + w_out[0, 0]
+    return jnp.concatenate(assigns, axis=0), counts, switches
+
+
+def _estep_assign_kernel_t(C: int, D: int, bf16: bool = False):
+    """Transposed fused single-pattern E-step: operates on a (D, Bn) batch
+    block so BOTH quadratic-form GEMMs run at full MXU utilization.
+
+    In row-major layout the segment reduction (C·D → C) is a GEMM with
+    N = C = 16 output lanes — ~12% utilization, and it dominates the
+    kernel.  Transposed, that GEMM becomes (C, C·D) @ (C·D, Bn): M = C
+    sits on the 8-wide sublane tiles (2 tiles) and N = Bn fills the lanes
+    — full rate.  Measured: 12.3 ms → 6.9 ms f32 at n=1e6, C=16, D=80
+    (v5e); exact match with the row-major kernel in f64 interpret mode,
+    f32 differences only on argmax ties at reassociation noise.
+    """
+
+    def kernel(
+        vt_ref,  # (D, Bn)
+        prev_ref,  # (1, Bn) int32; padded lanes carry -1
+        mcat_ref,  # (C*D, D)  stack_c minv[c]
+        lin_ref,  # (C, D)    rows minv[c] @ (mean_c ⊙ pattern)
+        c2_ref,  # (C, 1)    log π_c + const_c − ½ mᵀMm
+        assign_out,  # (1, Bn) int32
+        counts_out,  # (1, C) int32 (accumulated over grid)
+        switch_out,  # (1, 1) int32 (accumulated over grid)
+    ):
+        vt = vt_ref[:, :]
+        Bn = vt.shape[1]
+        dtype = vt.dtype
+        vm = jnp.where(jnp.isfinite(vt), vt, 0.0)
+        if bf16:
+            vg = vm.astype(jnp.bfloat16)
+            mc = mcat_ref[:, :].astype(jnp.bfloat16)
+            ln = lin_ref[:, :].astype(jnp.bfloat16)
+        else:
+            vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
+        Yt = jnp.dot(mc, vg, preferred_element_type=dtype)  # (C*D, Bn)
+        rep = pltpu.repeat(vm, C, axis=0)  # (C*D, Bn)
+        prod = Yt * rep
+        kc = jax.lax.broadcasted_iota(jnp.int32, (C, C * D), 1) // D
+        cc = jax.lax.broadcasted_iota(jnp.int32, (C, C * D), 0)
+        if bf16:
+            prod = prod.astype(jnp.bfloat16)
+        Ssum = (kc == cc).astype(prod.dtype)  # (C, C*D)
+        q = jnp.dot(Ssum, prod, preferred_element_type=dtype)  # (C, Bn)
+        qlin = jnp.dot(ln, vg, preferred_element_type=dtype)  # (C, Bn)
+        scores = c2_ref[:, :] - 0.5 * q + qlin  # (C, Bn)
+
+        na = jnp.argmax(scores, axis=0).astype(jnp.int32)  # (Bn,) first-max
+        prev = prev_ref[0, :]
+        validrow = prev >= 0
+        subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
+        onehot = ((na[None, :] == subl) & validrow[None, :]).astype(
+            jnp.int32
+        )
+        counts_p = jnp.sum(onehot, axis=1).reshape(1, C)
+        sw_p = jnp.sum(
+            ((na != prev) & validrow).astype(jnp.int32)
+        ).reshape(1, 1)
+
+        assign_out[0, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+
+    return kernel
+
+
+def estep_assign_pattern_sorted_t(
+    v_t: jax.Array,  # (D, n) — TRANSPOSED batch, rows grouped by pattern
+    prev_assign: jax.Array,  # (n,) int32
+    means: jax.Array,  # (C, D)
+    minv: jax.Array,  # (C, P, D, D)
+    const: jax.Array,  # (C, P)
+    logpi: jax.Array,  # (C,)
+    patterns: jax.Array,  # (P, D) bool
+    *,
+    sizes: tuple,
+    block_n: int = 1024,
+    interpret: bool = False,
+    bf16: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`estep_assign_pattern_sorted` on a pre-transposed (D, n)
+    batch — the fastest path; callers transpose once outside the EM loop
+    (the M-step consumes the row-major copy, so both layouts are kept)."""
+    D, n = v_t.shape
+    C, P = const.shape
+    assert len(sizes) == P and sum(sizes) == n
+    fmask = patterns.astype(v_t.dtype)  # (P, D)
+
+    mp = means[None, :, :] * fmask[:, None, :]  # (P, C, D)
+    lin = jnp.einsum("cpij,pcj->pci", minv, mp)  # (P, C, D)
+    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp)  # (P, C)
+    c2 = (logpi[None, :] + const.T - 0.5 * mMm)[:, :, None]  # (P, C, 1)
+    mcat = jnp.transpose(minv, (1, 0, 2, 3)).reshape(P, C * D, D)
+
+    assigns = []
+    counts = jnp.zeros((C,), jnp.int32)
+    switches = jnp.zeros((), jnp.int32)
+    off = 0
+    for p in range(P):
+        s = sizes[p]
+        if s == 0:
+            continue
+        vp = v_t[:, off : off + s]
+        ap = prev_assign[off : off + s].astype(jnp.int32)
+        off += s
+        pad = (-s) % block_n
+        if pad:
+            vp = jnp.concatenate(
+                [vp, jnp.zeros((D, pad), v_t.dtype)], axis=1
+            )
+            ap = jnp.concatenate(
+                [ap, jnp.full((pad,), -1, jnp.int32)], axis=0
+            )
+        s_pad = vp.shape[1]
+        a_out, c_out, w_out = pl.pallas_call(
+            _estep_assign_kernel_t(C, D, bf16=bf16),
+            grid=(s_pad // block_n,),
+            in_specs=[
+                pl.BlockSpec((D, block_n), lambda i: (0, i)),
+                pl.BlockSpec((1, block_n), lambda i: (0, i)),
+                pl.BlockSpec((C * D, D), lambda i: (0, 0)),
+                pl.BlockSpec((C, D), lambda i: (0, 0)),
+                pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_n), lambda i: (0, i)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+                pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, s_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, C), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            vp,
+            ap.reshape(1, s_pad),
+            mcat[p],
+            lin[p],
+            c2[p],
+        )
+        assigns.append(a_out[0, :s])
         counts = counts + c_out[0]
         switches = switches + w_out[0, 0]
     return jnp.concatenate(assigns, axis=0), counts, switches
