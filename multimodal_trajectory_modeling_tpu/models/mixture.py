@@ -791,6 +791,7 @@ class MMLinGaussSS_marginalizable:
         return_objectives: bool = False,
         use_cache: bool = True,
         starts_per_batch: int = 256,
+        fast: bool = None,
     ):
         """Reference multi-start protocol (mixture:1368-1471), with the
         restart loop replaced by vmapped on-device batches.
@@ -801,6 +802,15 @@ class MMLinGaussSS_marginalizable:
         is the first candidate whose objective is strictly greater than all
         previous ones; non-finite objectives never win; if no candidate is
         finite, raises ``Exception("training failed")``.
+
+        ``fast`` routes each candidate through the pattern-sorted
+        fused-kernel loop (:func:`em.train_em_sorted` — one sort, one
+        compile, candidates replayed sequentially at full per-iteration
+        throughput); ``None`` auto-selects it at large n on TPU
+        (n ≥ 200k), where the sequential fused loop beats the vmapped
+        batch.  The winner rule, objective definition and RNG streams are
+        identical either way; candidate end-states can differ from the
+        vmapped path only by f32 reassociation.
         """
         if bool(use_cache):
             try:
@@ -884,8 +894,49 @@ class MMLinGaussSS_marginalizable:
 
         _T0, z, x, v, patterns, pid = self._packed(None, None)
         reg_mode = "ridge" if self.alpha > 2 * np_eps else "lstsq"
+        if fast is None:
+            fast = (
+                v.shape[0] >= 200_000
+                and jax.devices()[0].platform == "tpu"
+            )
         results_params, results_assign, objectives = [], [], []
-        for lo in range(0, len(candidates), starts_per_batch):
+        if fast:
+            pid_np = np.asarray(pid)
+            order = np.argsort(pid_np, kind="stable")
+            sizes = tuple(
+                int(s)
+                for s in np.bincount(pid_np, minlength=patterns.shape[0])
+            )
+            oj = jnp.asarray(order)
+            z_s, x_s, v_s = z[:, oj], x[:, oj], v[oj]
+            pid_s = jnp.asarray(pid_np[order])
+            for cand in candidates:
+                params_c, assign_s, _iters, _status = em.train_em_sorted(
+                    cand._stacked_params(),
+                    jnp.asarray(cand.cluster_assignment)[oj],
+                    z_s,
+                    x_s,
+                    v_s,
+                    patterns,
+                    sizes=sizes,
+                    n_steps=n_steps,
+                    reg_mode=reg_mode,
+                    alpha=float(self.alpha),
+                )
+                obj = float(
+                    em.complete_data_loglik(
+                        params_c, v_s, patterns, pid_s, T=z.shape[0]
+                    )
+                )
+                results_params.append(params_c)
+                a = np.empty(order.shape[0], dtype=np.int32)
+                a[order] = np.asarray(assign_s)  # invert the sort
+                results_assign.append(a)
+                objectives.append(obj)
+        batch_ranges = (
+            [] if fast else range(0, len(candidates), starts_per_batch)
+        )
+        for lo in batch_ranges:
             batch = candidates[lo : lo + starts_per_batch]
             params0 = jax.tree.map(
                 lambda *xs: jnp.stack(xs),

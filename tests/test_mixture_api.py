@@ -339,3 +339,38 @@ def test_verbose_multistart_transcript_and_same_winner(synth, capsys):
     np.testing.assert_array_equal(
         loud.cluster_assignment, quiet.cluster_assignment
     )
+
+
+def test_fast_multistart_matches_default(synth):
+    """fast=True (pattern-sorted fused-kernel candidate loop) must replay
+    the reference multistart protocol exactly in f64: same winner, same
+    assignments, same objective as the vmapped default path."""
+    np.random.seed(1234)
+    slow = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=synth["z"],
+        observations=synth["x"],
+        init="kmeans",
+    ).train_with_multiple_random_starts(
+        n_starts=3, use_cache=False, fast=False, return_objectives=True
+    )
+    np.random.seed(1234)
+    quick = MMLinGaussSS_marginalizable(
+        n_clusters=2,
+        states=synth["z"],
+        observations=synth["x"],
+        init="kmeans",
+    ).train_with_multiple_random_starts(
+        n_starts=3, use_cache=False, fast=True, return_objectives=True
+    )
+    mdl_s, obj_s = slow
+    mdl_f, obj_f = quick
+    np.testing.assert_allclose(obj_f, obj_s, rtol=1e-9)
+    np.testing.assert_array_equal(
+        mdl_f.cluster_assignment, mdl_s.cluster_assignment
+    )
+    np.testing.assert_allclose(
+        mdl_f.e_complete_data_log_lik(),
+        mdl_s.e_complete_data_log_lik(),
+        rtol=1e-10,
+    )
