@@ -41,3 +41,9 @@ from multimodal_trajectory_modeling_tpu.ops.knn import (  # noqa: F401
     grid_search_knn,
     knn_predict,
 )
+from multimodal_trajectory_modeling_tpu.ops.markov import (  # noqa: F401
+    is_suffix_mask,
+    markov_cluster_weights,
+    markov_suffix_logliks,
+    suffix_lengths,
+)

@@ -1,0 +1,191 @@
+"""Exact O(T) joint log-density for LG-SSM clusters via the Markov
+factorization — the long-T path.
+
+The cluster density the mixture E-step evaluates is the joint Gaussian of
+``(z_{1:T}, x_{1:T})`` under
+
+    z_1 ~ N(m, S),  z_{t+1} | z_t ~ N(z_t A, G),  x_t | z_t ~ N(z_t H, L)
+
+(row-vector convention, matching :mod:`.samplers` / :mod:`.moments`).  The
+reference materializes the ``(T(d+l))²`` joint covariance and evaluates a
+dense masked quadratic form (marginalizable_state_space_model.py:268-370,
+728-773) — O(T²) memory and O(T³) factor cost, the reference's scaling
+wall in T.  For SUFFIX-ONLY missingness (per-row observed prefix length
+``len_i``, the variable-length-trajectory case: every adapter dataset and
+the synthetic benches) the chain rule factorizes the same density exactly:
+
+    log p = log N(z_1; m, S)
+          + Σ_{t<len-1} log N(z_{t+1}; z_t A, G)
+          + Σ_{t<len}   log N(x_t; z_t H, L)
+
+so the per-row cost is O(T·(d²+dl+l²)) with NO T×T matrices — exact (not
+approximate) and equal to the dense path to floating-point reassociation.
+
+TPU formulation: expanding every quadratic form turns the whole sum into
+ONE GEMM.  Per row accumulate masked Kronecker features over time —
+
+    Φ1  = Σ_t  vm_t   · z_t ⊗ z_t          (d²)
+    Φ0  =              z_0 ⊗ z_0           (d²)
+    Φ2  = Σ_t  vm_{t+1} · z_t ⊗ z_t        (d²)
+    Φc  = Σ_t  vm_{t+1} · z_t ⊗ z_{t+1}    (d²)
+    Φx  = Σ_t  vm_t   · x_t ⊗ x_t          (l²)
+    Φxz = Σ_t  vm_t   · z_t ⊗ x_t          (d·l)
+    z_0, len, 1                             (d + 2)
+
+(vm_t = [t < len]; for a suffix pattern the transition-pair validity
+vm_t·vm_{t+1} equals vm_{t+1}, which is what makes the fold exact) — and
+contract against a stacked per-cluster weight matrix ``W (F, C)`` built
+from Cholesky inverses of S, G, L:
+
+    scores (n, C) = [Φ1 Φ0 Φ2 Φc Φx Φxz z_0 len 1] @ W
+
+with weights  Φ1: −½(H L⁻¹ Hᵀ + G⁻¹);  Φ0: −½(S⁻¹ − G⁻¹);
+Φ2: −½(A G⁻¹ Aᵀ);  Φc: +A G⁻¹;  Φx: −½L⁻¹;  Φxz: +H L⁻¹;
+z_0: S⁻¹ m;  len: −½((d+l)·log 2π + log|G| + log|L|);
+1: −½(log|S| − log|G| + m S⁻¹ mᵀ).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _chol_inv_logdet(M: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched (C, k, k) -> (inverse, logdet) via Cholesky."""
+    Lc = jnp.linalg.cholesky(M)
+    k = M.shape[-1]
+    eye = jnp.eye(k, dtype=M.dtype)
+    inv = jax.vmap(lambda Lp: jax.scipy.linalg.cho_solve((Lp, True), eye))(
+        Lc
+    )
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1
+    )
+    return inv, logdet
+
+
+def markov_cluster_weights(
+    m: jax.Array,  # (C, d)
+    S: jax.Array,  # (C, d, d)
+    A: jax.Array,  # (C, d, d)
+    G: jax.Array,  # (C, d, d)
+    H: jax.Array,  # (C, d, l)
+    L: jax.Array,  # (C, l, l)
+) -> jax.Array:
+    """Stacked feature weights ``W (F, C)``, F = 4d² + l² + dl + d + 2.
+
+    Feature order matches :func:`markov_suffix_logliks`' accumulation:
+    [Φ1, Φ0, Φ2, Φc, Φx, Φxz, z_0, len, 1].
+    """
+    C, d = m.shape
+    l = H.shape[-1]
+    Sinv, ldS = _chol_inv_logdet(S)
+    Ginv, ldG = _chol_inv_logdet(G)
+    Linv, ldL = _chol_inv_logdet(L)
+
+    HLH = jnp.einsum("cda,cab,ceb->cde", H, Linv, H)  # H L⁻¹ Hᵀ (C, d, d)
+    AGA = jnp.einsum("cda,cab,ceb->cde", A, Ginv, A)  # A G⁻¹ Aᵀ
+    AG = jnp.einsum("cda,cab->cdb", A, Ginv)  # A G⁻¹  (z_t index first)
+    HL = jnp.einsum("cda,cab->cdb", H, Linv)  # H L⁻¹  (z index first)
+    Sm = jnp.einsum("cab,cb->ca", Sinv, m)  # S⁻¹ m (C, d)
+    mSm = jnp.einsum("ca,ca->c", m, Sm)
+
+    w_phi1 = -0.5 * (HLH + Ginv).reshape(C, d * d)
+    w_phi0 = -0.5 * (Sinv - Ginv).reshape(C, d * d)
+    w_phi2 = -0.5 * AGA.reshape(C, d * d)
+    w_phic = AG.reshape(C, d * d)
+    w_phix = -0.5 * Linv.reshape(C, l * l)
+    w_phixz = HL.reshape(C, d * l)
+    w_len = (-0.5 * ((d + l) * _LOG_2PI + ldG + ldL))[:, None]
+    w_one = (-0.5 * (ldS - ldG + mSm))[:, None]
+    return jnp.concatenate(
+        [w_phi1, w_phi0, w_phi2, w_phic, w_phix, w_phixz, Sm, w_len, w_one],
+        axis=1,
+    ).T  # (F, C)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def markov_suffix_logliks(
+    z: jax.Array,  # (T, n, d) NaN beyond each row's length
+    x: jax.Array,  # (T, n, l) NaN beyond each row's length
+    lens: jax.Array,  # (n,) int32 observed prefix lengths (1..T)
+    W: jax.Array,  # (F, C) from markov_cluster_weights
+) -> jax.Array:
+    """``(C, n)`` joint log-densities, O(T) time and memory.
+
+    Exactly the dense masked-Gaussian values
+    (:func:`..ops.gaussian.masked_mvn_logpdf_grouped` on the assembled
+    joint moments) whenever each row's missingness is a pure suffix; rows
+    with interior missingness are OUT OF CONTRACT — use the dense path.
+    """
+    T, n, d = z.shape
+    l = x.shape[-1]
+    dtype = z.dtype
+    zm = jnp.where(jnp.isfinite(z), z, 0.0)
+    xm = jnp.where(jnp.isfinite(x), x, 0.0)
+    tgrid = jnp.arange(T, dtype=lens.dtype)
+    vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
+
+    # masked feature accumulation over time — a scan keeps memory O(n·F)
+    # at any T (nothing (T, n, ·) beyond the inputs is materialized)
+    def outer(a, b):  # (n, p), (n, q) -> (n, p*q)
+        return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+
+    def step(carry, inp):
+        phi1, phi2, phic, phix, phixz = carry
+        z_t, z_n, x_t, vm_t, vm_n = inp
+        zz = outer(z_t, z_t)
+        phi1 = phi1 + vm_t[:, None] * zz
+        phi2 = phi2 + vm_n[:, None] * zz
+        phic = phic + vm_n[:, None] * outer(z_t, z_n)
+        phix = phix + vm_t[:, None] * outer(x_t, x_t)
+        phixz = phixz + vm_t[:, None] * outer(z_t, x_t)
+        return (phi1, phi2, phic, phix, phixz), None
+
+    zeros = lambda k: jnp.zeros((n, k), dtype)  # noqa: E731
+    z_next = jnp.concatenate([zm[1:], jnp.zeros((1, n, d), dtype)], axis=0)
+    vm_next = jnp.concatenate([vm[1:], jnp.zeros((1, n), dtype)], axis=0)
+    (phi1, phi2, phic, phix, phixz), _ = jax.lax.scan(
+        step,
+        (zeros(d * d), zeros(d * d), zeros(d * d), zeros(l * l), zeros(d * l)),
+        (zm, z_next, xm, vm, vm_next),
+    )
+
+    feats = jnp.concatenate(
+        [
+            phi1,
+            outer(zm[0], zm[0]),
+            phi2,
+            phic,
+            phix,
+            phixz,
+            zm[0],
+            lens.astype(dtype)[:, None],
+            jnp.ones((n, 1), dtype),
+        ],
+        axis=1,
+    )  # (n, F)
+    return (feats @ W).T  # (C, n)
+
+
+def suffix_lengths(valid_t: jax.Array) -> jax.Array:
+    """Per-row prefix length from a (T, n) validity mask; asserts nothing —
+    callers guarantee suffix structure (see :func:`is_suffix_mask`)."""
+    return jnp.sum(valid_t.astype(jnp.int32), axis=0)
+
+
+def is_suffix_mask(valid_t) -> bool:
+    """True iff every column of the (T, n) validity mask is a contiguous
+    prefix of True — the contract for the O(T) factorized path."""
+    import numpy as np
+
+    v = np.asarray(valid_t, dtype=bool)
+    lens = v.sum(axis=0)
+    expect = np.arange(v.shape[0])[:, None] < lens[None, :]
+    return bool(np.array_equal(v, expect))

@@ -222,10 +222,11 @@ def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
     kernel directly (reference E-step consumers,
     marginalizable_mixture_model.py:1235-1252).
 
-    ``bf16=True`` feeds the two quadratic-form GEMMs bfloat16 operands with
-    float32 accumulation (``preferred_element_type``) — 2× MXU rate on the
-    dominant vᵀM GEMM.  The argmax/count/switch logic stays exact int32;
-    only the scores carry bf16 input-rounding noise.
+    ``bf16=True`` requests bfloat16 GEMM operands with float32
+    accumulation.  Measured on the current Mosaic toolchain the casts are
+    promoted back to f32 (bit-identical results, no timing change) — the
+    flag is kept as a forward-compat hook; the f32 kernel already runs at
+    ~73% f32 MFU, so the headroom is small anyway.
     """
 
     def kernel(
@@ -312,10 +313,11 @@ def estep_assign_pattern_sorted(
     :func:`..models.em.assignments_from_logliks`) up to floating-point
     reassociation of the expanded quadratic form; ``counts`` equals
     ``bincount(assign, length=C)`` and ``switches`` equals
-    ``sum(assign != prev_assign)`` exactly.  ``bf16=True`` runs the
-    quadratic-form GEMMs on bfloat16 operands with f32 accumulation
-    (bench-mode; argmax can flip for rows whose top-2 scores are within
-    the bf16 input-rounding noise).
+    ``sum(assign != prev_assign)`` exactly.  ``bf16=True`` requests
+    bfloat16 GEMM operands (f32 accumulation) — a no-op on the current
+    Mosaic toolchain, which promotes the casts back to f32 (observed:
+    bit-identical output, unchanged timing); kept as a forward-compat
+    hook.
     """
     n, D = v.shape
     C, P = const.shape

@@ -29,6 +29,9 @@ and ran 166 ms at n=1e6; this formulation never materializes anything
 narrower than C·u lanes and unrolls T, not T×C.  Measured on one v5e
 chip at n=1e6, T=10, d=5, l=3, C=16: 24 ms (vs 88 ms for the XLA
 einsum path); exact in f64 interpret mode, f32 at reassociation noise.
+The production path is now :func:`mstep_stats_gram_sorted` (whole-row
+Gram, ~8.8 ms kernel time at the same config with 4096-row blocks);
+this per-t kernel remains the unsorted-batch fallback.
 
 Host-side :func:`unpack_mstep_stats` splits the three accumulated matrices
 (transitions, measurements, initial moments) into
@@ -203,7 +206,13 @@ def _mstep_gram_kernel(C: int):
         a = a_ref[:, :]  # (Bn, 1) int32; padded rows carry C
         kc = jax.lax.broadcasted_iota(jnp.int32, (Bn, C * u), 1) // u
         W = (a == kc).astype(dtype)  # (Bn, C*u)
-        B = W * pltpu.repeat(U, C, axis=1)
+        # replicate U C times with an exact 0/1 tiling GEMM (single
+        # nonzero per F column → bit-exact): measured 1.8 ms faster per
+        # 1M-row pass than pltpu.repeat, which costs a VPU relayout
+        km = jax.lax.broadcasted_iota(jnp.int32, (u, C * u), 1) % u
+        jr = jax.lax.broadcasted_iota(jnp.int32, (u, C * u), 0)
+        F = (km == jr).astype(dtype)  # (u, C·u): tile(I_u, C)
+        B = W * jnp.dot(U, F, preferred_element_type=dtype)
 
         @pl.when(pl.program_id(0) == 0)
         def _():

@@ -1,0 +1,117 @@
+"""The O(T) Markov-factorized joint log-density must equal the dense
+joint-covariance path exactly (f64) for suffix missingness — including
+length-1 rows — and must scale to T where the dense path cannot go."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_trajectory_modeling_tpu import ops
+from multimodal_trajectory_modeling_tpu.models import em
+from multimodal_trajectory_modeling_tpu.ops import markov
+
+
+def _mixture(seed, C, T, n, d, l, min_len=1):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    lens = rng.integers(min_len, T + 1, size=n)
+    for Ln in np.unique(lens):
+        z[Ln:, lens == Ln] = np.nan
+        x[Ln:, lens == Ln] = np.nan
+    m = rng.normal(size=(C, d))
+    A = rng.normal(scale=0.3, size=(C, d, d))
+    H = rng.normal(size=(C, d, l))
+
+    def spd(k):
+        M = rng.normal(size=(k, k))
+        return M @ M.T / k + np.eye(k)
+
+    S = np.stack([spd(d) for _ in range(C)])
+    G = np.stack([spd(d) for _ in range(C)])
+    L = np.stack([spd(l) for _ in range(C)])
+    return (
+        jnp.asarray(z),
+        jnp.asarray(x),
+        jnp.asarray(lens, jnp.int32),
+        tuple(map(jnp.asarray, (m, S, A, G, H, L))),
+    )
+
+
+def _dense_logliks(z, x, params_t):
+    """Oracle: per-cluster dense joint moments + masked grouped logpdf."""
+    m, S, A, G, H, L = params_t
+    T = z.shape[0]
+    v = em.pack_joint(z, x)
+    patterns, pid = ops.pattern_groups(np.asarray(v))
+    patterns, pid = jnp.asarray(patterns), jnp.asarray(pid)
+    C = m.shape[0]
+    rows = []
+    for c in range(C):
+        mean = ops.joint_mean(T, m[c], A[c], H[c])
+        cov = ops.joint_cov(T, S[c], A[c], G[c], H[c], L[c])
+        rows.append(
+            ops.masked_mvn_logpdf_grouped(
+                v, mean, cov, patterns, pid, method="solve"
+            )
+        )
+    return jnp.stack(rows)
+
+
+def test_markov_equals_dense_suffix():
+    z, x, lens, params_t = _mixture(0, C=3, T=7, n=240, d=2, l=3)
+    W = markov.markov_cluster_weights(*params_t)
+    got = np.asarray(markov.markov_suffix_logliks(z, x, lens, W))
+    want = np.asarray(_dense_logliks(z, x, params_t))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_markov_length_one_rows():
+    """len=1 rows: no transitions, one measurement, init only."""
+    z, x, lens, params_t = _mixture(1, C=2, T=5, n=64, d=3, l=2, min_len=1)
+    lens = lens.at[:8].set(1)
+    z = z.at[1:, :8].set(jnp.nan)
+    x = x.at[1:, :8].set(jnp.nan)
+    W = markov.markov_cluster_weights(*params_t)
+    got = np.asarray(markov.markov_suffix_logliks(z, x, lens, W))
+    want = np.asarray(_dense_logliks(z, x, params_t))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_markov_long_T_exact_and_scaling():
+    """T=96 (dense joint = 480² per cluster — near the practical dense
+    ceiling): still exact; then T=2048 runs O(T) without materializing
+    any T×T object (the dense path would need a 10240² joint)."""
+    z, x, lens, params_t = _mixture(2, C=2, T=96, n=40, d=2, l=3, min_len=40)
+    W = markov.markov_cluster_weights(*params_t)
+    got = np.asarray(markov.markov_suffix_logliks(z, x, lens, W))
+    want = np.asarray(_dense_logliks(z, x, params_t))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    T_big = 2048
+    rng = np.random.default_rng(3)
+    # stable chain so values stay finite at T=2048
+    m, S, A, G, H, L = (np.asarray(p) for p in params_t)
+    A = 0.4 * A / np.abs(np.linalg.eigvals(A)).max(axis=-1)[:, None, None]
+    params_big = tuple(map(jnp.asarray, (m, S, A, G, H, L)))
+    zb = np.zeros((T_big, 16, 2))
+    zb[0] = rng.normal(size=(16, 2))
+    for t in range(T_big - 1):
+        zb[t + 1] = zb[t] @ np.asarray(A[0]) + 0.1 * rng.normal(size=(16, 2))
+    xb = zb @ np.asarray(H[0]) + rng.normal(size=(T_big, 16, 3))
+    lens_b = jnp.full((16,), T_big, jnp.int32)
+    Wb = markov.markov_cluster_weights(*params_big)
+    ll = markov.markov_suffix_logliks(
+        jnp.asarray(zb), jnp.asarray(xb), lens_b, Wb
+    )
+    assert np.all(np.isfinite(np.asarray(ll)))
+
+
+def test_suffix_mask_helpers():
+    v = np.array([[1, 1, 1], [0, 1, 0], [1, 1, 0]], dtype=bool)
+    assert not markov.is_suffix_mask(v)
+    v2 = np.array([[1, 1, 1], [1, 1, 0], [1, 0, 0]], dtype=bool)
+    assert markov.is_suffix_mask(v2)
+    np.testing.assert_array_equal(
+        np.asarray(markov.suffix_lengths(jnp.asarray(v2))), [3, 2, 1]
+    )
