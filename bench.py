@@ -129,10 +129,9 @@ def bench_tpu(z, x, v, patterns, pid):
     )
     z, x, v = z[:, order], x[:, order], v[order]
 
-    # MTM_BENCH_BF16=1 runs the E-step quadratic-form GEMMs on bfloat16
-    # operands (f32 accumulation) — 2x MXU rate on the dominant GEMM; the
-    # M-step and all integer logic stay exact.  Off by default: the
-    # headline number is the f32 path.
+    # MTM_BENCH_BF16=1 requests bfloat16 E-step GEMM operands — currently
+    # a no-op (Mosaic promotes the casts back to f32; bit-identical,
+    # unchanged timing), kept as a forward-compat hook.
     bf16 = os.environ.get("MTM_BENCH_BF16", "0") == "1"
 
     # on-device transposed copy for the E kernel (once, outside the loop)

@@ -299,6 +299,48 @@ def estep_assign_sorted(
     )
 
 
+def estep_assign_markov(
+    params: MixtureParams,
+    z_t: jax.Array,  # (T·d, n) transposed latent batch
+    x_t: jax.Array,  # (T·l, n) transposed observations
+    lens: jax.Array,  # (n,) int32 per-row observed prefix lengths
+    prev_assign: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    interpret: bool = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused O(T) Markov-factorized E-step for SUFFIX missingness:
+    ``(assign, counts, switches)`` with log π folded into the kernel's
+    constant column — same assignments as the dense kernels up to f32
+    reassociation (exact in f64), ~6× fewer FLOPs at the benchmark
+    config (ops/pallas_markov.py).  ``z_t``/``x_t`` are iteration
+    -invariant: transpose once, outside the EM loop."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    d = params.m.shape[1]
+    l = params.H.shape[2]
+    W1, W2, W3 = mops.markov_cluster_weights_grouped(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    W3 = W3.at[:, -1].add(jnp.log(params.pi))
+    return pallas_markov.markov_assign_suffix(
+        z_t,
+        x_t,
+        lens,
+        prev_assign,
+        W1,
+        W2,
+        W3,
+        T=T,
+        d=d,
+        l=l,
+        interpret=interpret,
+    )
+
+
 def mstep_sorted(
     v_sorted: jax.Array,
     assign: jax.Array,
@@ -331,6 +373,10 @@ def mstep_sorted(
         d=d,
         l=l,
         n_clusters=n_clusters,
+        # 4096-row blocks amortize the (u, C·u) output accumulation on
+        # TPU; interpret mode keeps 1024 so small test batches don't pay
+        # 4×-padded emulation
+        block_n=1024 if interpret else 4096,
         interpret=interpret,
     )
     pi = counts.astype(v_sorted.dtype) / v_sorted.shape[0]

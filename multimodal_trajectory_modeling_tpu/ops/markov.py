@@ -70,6 +70,55 @@ def _chol_inv_logdet(M: jax.Array) -> tuple[jax.Array, jax.Array]:
     return inv, logdet
 
 
+def markov_cluster_weights_grouped(
+    m: jax.Array,  # (C, d)
+    S: jax.Array,  # (C, d, d)
+    A: jax.Array,  # (C, d, d)
+    G: jax.Array,  # (C, d, d)
+    H: jax.Array,  # (C, d, l)
+    L: jax.Array,  # (C, l, l)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-mask-group feature weights:
+
+    - ``W1 (C, d²+l²+dl)`` against per-step vm_t features [z⊗z, x⊗x, z⊗x]
+    - ``W2 (C, 2d²)`` against vm_{t+1} features [z_t⊗z_t, z_t⊗z_{t+1}]
+    - ``W3 (C, d²+d+2)`` against the end features [z_0⊗z_0, z_0, len, 1]
+
+    (the Pallas kernel consumes these directly; the XLA path concatenates
+    them into one (F, C) matrix via :func:`markov_cluster_weights`).
+    """
+    C, d = m.shape
+    l = H.shape[-1]
+    Sinv, ldS = _chol_inv_logdet(S)
+    Ginv, ldG = _chol_inv_logdet(G)
+    Linv, ldL = _chol_inv_logdet(L)
+
+    HLH = jnp.einsum("cda,cab,ceb->cde", H, Linv, H)  # H L⁻¹ Hᵀ (C, d, d)
+    AGA = jnp.einsum("cda,cab,ceb->cde", A, Ginv, A)  # A G⁻¹ Aᵀ
+    AG = jnp.einsum("cda,cab->cdb", A, Ginv)  # A G⁻¹  (z_t index first)
+    HL = jnp.einsum("cda,cab->cdb", H, Linv)  # H L⁻¹  (z index first)
+    Sm = jnp.einsum("cab,cb->ca", Sinv, m)  # S⁻¹ m (C, d)
+    mSm = jnp.einsum("ca,ca->c", m, Sm)
+
+    W1 = jnp.concatenate(
+        [
+            -0.5 * (HLH + Ginv).reshape(C, d * d),
+            -0.5 * Linv.reshape(C, l * l),
+            HL.reshape(C, d * l),
+        ],
+        axis=1,
+    )
+    W2 = jnp.concatenate(
+        [-0.5 * AGA.reshape(C, d * d), AG.reshape(C, d * d)], axis=1
+    )
+    w_len = (-0.5 * ((d + l) * _LOG_2PI + ldG + ldL))[:, None]
+    w_one = (-0.5 * (ldS - ldG + mSm))[:, None]
+    W3 = jnp.concatenate(
+        [-0.5 * (Sinv - Ginv).reshape(C, d * d), Sm, w_len, w_one], axis=1
+    )
+    return W1, W2, W3
+
+
 def markov_cluster_weights(
     m: jax.Array,  # (C, d)
     S: jax.Array,  # (C, d, d)
@@ -85,28 +134,17 @@ def markov_cluster_weights(
     """
     C, d = m.shape
     l = H.shape[-1]
-    Sinv, ldS = _chol_inv_logdet(S)
-    Ginv, ldG = _chol_inv_logdet(G)
-    Linv, ldL = _chol_inv_logdet(L)
-
-    HLH = jnp.einsum("cda,cab,ceb->cde", H, Linv, H)  # H L⁻¹ Hᵀ (C, d, d)
-    AGA = jnp.einsum("cda,cab,ceb->cde", A, Ginv, A)  # A G⁻¹ Aᵀ
-    AG = jnp.einsum("cda,cab->cdb", A, Ginv)  # A G⁻¹  (z_t index first)
-    HL = jnp.einsum("cda,cab->cdb", H, Linv)  # H L⁻¹  (z index first)
-    Sm = jnp.einsum("cab,cb->ca", Sinv, m)  # S⁻¹ m (C, d)
-    mSm = jnp.einsum("ca,ca->c", m, Sm)
-
-    w_phi1 = -0.5 * (HLH + Ginv).reshape(C, d * d)
-    w_phi0 = -0.5 * (Sinv - Ginv).reshape(C, d * d)
-    w_phi2 = -0.5 * AGA.reshape(C, d * d)
-    w_phic = AG.reshape(C, d * d)
-    w_phix = -0.5 * Linv.reshape(C, l * l)
-    w_phixz = HL.reshape(C, d * l)
-    w_len = (-0.5 * ((d + l) * _LOG_2PI + ldG + ldL))[:, None]
-    w_one = (-0.5 * (ldS - ldG + mSm))[:, None]
+    W1, W2, W3 = markov_cluster_weights_grouped(m, S, A, G, H, L)
+    dd = d * d
+    w_phi1 = W1[:, :dd]
+    w_phix = W1[:, dd : dd + l * l]
+    w_phixz = W1[:, dd + l * l :]
+    w_phi2 = W2[:, :dd]
+    w_phic = W2[:, dd:]
+    w_phi0 = W3[:, :dd]
+    rest = W3[:, dd:]  # [Sm, len, 1]
     return jnp.concatenate(
-        [w_phi1, w_phi0, w_phi2, w_phic, w_phix, w_phixz, Sm, w_len, w_one],
-        axis=1,
+        [w_phi1, w_phi0, w_phi2, w_phic, w_phix, w_phixz, rest], axis=1
     ).T  # (F, C)
 
 

@@ -115,3 +115,33 @@ def test_suffix_mask_helpers():
     np.testing.assert_array_equal(
         np.asarray(markov.suffix_lengths(jnp.asarray(v2))), [3, 2, 1]
     )
+
+
+def test_markov_assign_kernel_matches_logliks():
+    """The fused Pallas Markov-assign kernel (interpret mode) must equal
+    argmax(log pi + markov logliks), counts and switches exactly."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(5)
+    C, T, n, d, l = 3, 6, 300, 2, 3
+    z, x, lens, params_t = _mixture(4, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    params = em.MixtureParams(pi=pi, m=m, S=S, A=A, G=G, H=H, L=L)
+
+    W = markov.markov_cluster_weights(*params_t)
+    ll = markov.markov_suffix_logliks(z, x, lens, W)
+    want = np.argmax(np.log(np.asarray(pi))[:, None] + np.asarray(ll), axis=0)
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+    z_t = jnp.where(jnp.isfinite(z_t), z_t, jnp.nan)
+    a, c, w = em.estep_assign_markov(
+        params, z_t, x_t, lens, prev, T=T, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), want)
+    np.testing.assert_array_equal(
+        np.asarray(c), np.bincount(want, minlength=C)
+    )
+    assert int(w) == int(np.sum(want != np.asarray(prev)))
