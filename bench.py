@@ -16,7 +16,6 @@ Prints ONE JSON line:
 
 import functools
 import json
-import os
 import time
 
 import numpy as np
@@ -31,7 +30,7 @@ mtm_config.enable_persistent_compilation_cache()
 N_FULL = 1_000_000
 T, D_H, D_O, C = 10, 5, 3, 16
 N_BASE = 500  # subsample for the NumPy baseline timing
-BENCH_ITERS = 10
+BENCH_ITERS = 50
 
 
 _LENGTHS = (T // 2, T - 2, T)
@@ -117,50 +116,33 @@ def bench_tpu(z, x, v, patterns, pid):
     # (b) one fused E+M step compiles in seconds while a fori_loop of 10
     # steps takes minutes through the remote compiler — so we compile the
     # single step and chain it from the host (dispatch ≪ step time).
-    # Missingness patterns are fixed across EM iterations, so sort the batch
-    # by pattern id ONCE: each E-step block then evaluates only its own
-    # pattern's C quadratic forms (P-fold less MXU work).  M-step sufficient
-    # statistics are permutation-invariant sums, so z/x sorted consistently
-    # need never be unsorted.
-    pid_np = np.asarray(pid)
-    order = jnp.asarray(np.argsort(pid_np, kind="stable"))
-    sizes = tuple(
-        int(s) for s in np.bincount(pid_np, minlength=patterns.shape[0])
+    # The benchmark batch has suffix-only missingness (three trajectory
+    # lengths), so the production path is the fused O(T) Markov EM kernel:
+    # ONE kernel pass per iteration builds the per-row chain-rule features
+    # and computes the E assignment AND the per-cluster M sufficient
+    # statistics from a single read of the batch (ops/pallas_markov.py;
+    # f64-identical to the dense-joint reference semantics, tested).
+    # Iteration-invariant transposed copies are hoisted out of the loop.
+    plens = np.asarray(patterns[:, : T * D_H]).reshape(-1, T, D_H)
+    plens = plens.all(-1).sum(-1)
+    lens = jnp.asarray(plens[np.asarray(pid)].astype(np.int32))
+    ztp = jax.jit(lambda a: jnp.transpose(a, (0, 2, 1)).reshape(T * D_H, -1))(
+        z
     )
-    z, x, v = z[:, order], x[:, order], v[order]
+    xtp = jax.jit(lambda a: jnp.transpose(a, (0, 2, 1)).reshape(T * D_O, -1))(
+        x
+    )
 
-    # MTM_BENCH_BF16=1 requests bfloat16 E-step GEMM operands — currently
-    # a no-op (Mosaic promotes the casts back to f32; bit-identical,
-    # unchanged timing), kept as a forward-compat hook.
-    bf16 = os.environ.get("MTM_BENCH_BF16", "0") == "1"
-
-    # on-device transposed copy for the E kernel (once, outside the loop)
-    v_t = jax.jit(lambda a: jnp.swapaxes(a, 0, 1))(v)
-
-    @functools.partial(jax.jit, static_argnames=("sizes",))
-    def em_step(params, assign, vj, vjt, pj, sizes):
-        # fused transposed E kernel: assignments/counts/switches straight
-        # from the kernel (the (C, n) log-likelihood matrix never touches
-        # HBM), then the whole-row Gram M kernel (one fat GEMM per block)
-        new_assign, counts, switches = em.estep_assign_sorted(
-            params, vj, pj, assign, sizes=sizes, T=T, bf16=bf16,
-            v_sorted_t=vjt,
-        )
-        new_params = em.mstep_sorted(
-            vj, new_assign, pj, sizes=sizes, T=T, d=D_H, l=D_O, n_clusters=C
-        )
-        return new_params, new_assign
+    em_step = jax.jit(functools.partial(em.emstep_markov, T=T))
 
     assign = jnp.zeros((v.shape[0],), jnp.int32)
-    params, assign = em_step(params0, assign, v, v_t, patterns, sizes=sizes)
+    params, assign, _c, _w = em_step(params0, ztp, xtp, lens, assign)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
-        params, assign = em_step(
-            params, assign, v, v_t, patterns, sizes=sizes
-        )
+        params, assign, _c, _w = em_step(params, ztp, xtp, lens, assign)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"

@@ -341,6 +341,99 @@ def estep_assign_markov(
     )
 
 
+def _unpack_markov_em_stats(g: jax.Array, d: int, l: int):
+    """Split the fused kernel's per-cluster feature sums ``g (F, C)`` into
+    the transition/measurement :class:`~..ops.regression.RegressionStats`
+    and initial :class:`~..ops.regression.MomentStats` (identical contract
+    to ``pallas_mstep.mstep_stats_gram_sorted``'s outputs, suffix
+    missingness)."""
+    gT = g.T  # (C, F)
+    C = gT.shape[0]
+    dd = d * d
+    o = 0
+
+    def take(k):
+        nonlocal o
+        out = gT[:, o : o + k]
+        o += k
+        return out
+
+    g1 = take(dd).reshape(C, d, d)  # Σ vm z⊗z
+    g2 = take(dd).reshape(C, d, d)  # Σ vm⁺ z⊗z
+    g3 = take(dd).reshape(C, d, d)  # Σ vm⁺ z⊗z_next
+    g4 = take(l * l).reshape(C, l, l)  # Σ vm x⊗x
+    g5 = take(d * l).reshape(C, d, l)  # Σ vm z⊗x
+    g6 = take(dd).reshape(C, d, d)  # z0⊗z0
+    g7 = take(d)  # Σ vm⁺ z
+    g8 = take(d)  # Σ vm z
+    g9 = take(l)  # Σ vm x
+    g10 = take(d)  # z0
+    g11 = take(1)[:, 0]  # Σ len
+    g12 = take(1)[:, 0]  # row count
+    tstats = rops.RegressionStats(
+        xtx=g2, xty=g3, yty=g1 - g6, sx=g7, sy=g8 - g10, count=g11 - g12
+    )
+    mstats = rops.RegressionStats(
+        xtx=g1, xty=g5, yty=g4, sx=g8, sy=g9, count=g11
+    )
+    istats = rops.MomentStats(count=g12, s=g10, ss=g6)
+    return tstats, mstats, istats
+
+
+def emstep_markov(
+    params: MixtureParams,
+    z_t: jax.Array,  # (T·d, n) transposed latent batch
+    x_t: jax.Array,  # (T·l, n) transposed observations
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    assign_mode: str = "argmax",
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    interpret: bool = None,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """ONE fused EM iteration for suffix missingness: returns
+    ``(new_params, assign, counts, switches)`` from a single kernel pass
+    over the batch — the per-row Markov features feed both the E-score
+    GEMM and the per-cluster M sufficient statistics
+    (ops/pallas_markov.py:markov_em_fused).  ``assign_mode="prev"``
+    performs the initial M step (statistics under ``prev_assign``, no E).
+    Equal to estep+mstep of the unfused paths in f64; f32 at
+    reassociation noise."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    d = params.m.shape[1]
+    l = params.H.shape[2]
+    Wg = mops.markov_em_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+    assign, counts, switches, g = pallas_markov.markov_em_fused(
+        z_t,
+        x_t,
+        lens,
+        prev_assign,
+        Wg,
+        T=T,
+        d=d,
+        l=l,
+        assign_mode=assign_mode,
+        interpret=interpret,
+    )
+    tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
+    n = z_t.shape[1]
+    pi = counts.astype(z_t.dtype) / n
+    m0, S0 = rops.mean_cov_from_stats(istats)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+    new_params = MixtureParams(pi, m0, S0, A, G, H, L)
+    return new_params, assign, counts, switches
+
+
 def mstep_sorted(
     v_sorted: jax.Array,
     assign: jax.Array,
@@ -672,6 +765,87 @@ def train_em_sorted(
         empty = (~converged) & (jnp.min(counts) <= min_members)
         run_m = (~converged) & (~empty)
         new_params = _mstep(new_assign)
+        params_out = _tree_select(run_m, new_params, params)
+        status_out = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
+        )
+        return (params_out, new_assign, i + 1, status_out)
+
+    params_f, assign_f, iters, status = jax.lax.while_loop(
+        cond, body, (params_start, assign0, jnp.int32(0), status0)
+    )
+    return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "reg_mode", "alpha", "min_members"),
+)
+def train_em_markov(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32 observed prefix lengths
+    *,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """:func:`train_em` for SUFFIX missingness via the fused Markov EM
+    kernel — ONE kernel pass per iteration computes the E assignment and
+    the per-cluster M sufficient statistics from a single read of the
+    batch (ops/pallas_markov.py).  No pattern sorting needed (per-row
+    lengths carry the validity); O(T) in time like the whole
+    :mod:`..ops.markov` family.  Same training trajectory and status
+    semantics as :func:`train_em`/:func:`train_em_sorted` (f64-identical;
+    f32 up to reassociation)."""
+    T, n, d = z.shape
+    l = x.shape[-1]
+    C = params0.pi.shape[0]
+    assign0 = assign0.astype(jnp.int32)
+    interpret = jax.devices()[0].platform not in ("tpu",)
+
+    # iteration-invariant transposed copies (hoisted by the while_loop)
+    z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+    x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+
+    counts0 = counts_from_assign(assign0, C)
+    init_abort = jnp.min(counts0) <= min_members
+
+    def _emstep(params, prev, mode):
+        return emstep_markov(
+            params,
+            z_tp,
+            x_tp,
+            lens,
+            prev,
+            T=T,
+            assign_mode=mode,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            interpret=interpret,
+        )
+
+    params_m, _, _, _ = _emstep(params0, assign0, "prev")
+    params_start = _tree_select(init_abort, params0, params_m)
+    status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+    def cond(state):
+        _, _, i, status = state
+        return (status == STATUS_RUNNING) & (i < n_steps)
+
+    def body(state):
+        params, assign, i, status = state
+        new_params, new_assign, counts, switches = _emstep(
+            params, assign, "argmax"
+        )
+        converged = switches == 0
+        empty = (~converged) & (jnp.min(counts) <= min_members)
+        run_m = (~converged) & (~empty)
         params_out = _tree_select(run_m, new_params, params)
         status_out = jnp.where(
             converged,

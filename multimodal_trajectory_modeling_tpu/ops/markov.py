@@ -227,3 +227,42 @@ def is_suffix_mask(valid_t) -> bool:
     lens = v.sum(axis=0)
     expect = np.arange(v.shape[0])[:, None] < lens[None, :]
     return bool(np.array_equal(v, expect))
+
+
+def markov_em_feature_dim(d: int, l: int) -> int:
+    """F for the fused EM feature vector g (see pallas_markov kernel):
+    [g1 zzΣ, g2 zzΣ·vm⁺, g3 z⊗znΣ, g4 xxΣ, g5 zxΣ, g6 zz0, g7 Σvm⁺z,
+    g8 Σz, g9 Σx, g10 z0, g11 len, g12 1]."""
+    return 4 * d * d + l * l + d * l + 2 * d + l + d + 2
+
+
+def markov_em_weights(
+    m: jax.Array,
+    S: jax.Array,
+    A: jax.Array,
+    G: jax.Array,
+    H: jax.Array,
+    L: jax.Array,
+) -> jax.Array:
+    """E-score weights over the fused EM feature vector: ``(C, F)`` with
+    zeros on the M-only linear-sum slots (g7, g8, g9)."""
+    C, d = m.shape
+    l = H.shape[-1]
+    W1, W2, W3 = markov_cluster_weights_grouped(m, S, A, G, H, L)
+    dd = d * d
+    zeros = jnp.zeros((C, 2 * d + l), W1.dtype)
+    return jnp.concatenate(
+        [
+            W1[:, :dd],  # g1
+            W2[:, :dd],  # g2
+            W2[:, dd:],  # g3
+            W1[:, dd : dd + l * l],  # g4
+            W1[:, dd + l * l :],  # g5
+            W3[:, :dd],  # g6
+            zeros,  # g7, g8, g9
+            W3[:, dd : dd + d],  # g10 (S⁻¹m)
+            W3[:, dd + d : dd + d + 1],  # g11 (len)
+            W3[:, dd + d + 1 :],  # g12 (const)
+        ],
+        axis=1,
+    )

@@ -185,3 +185,183 @@ def markov_assign_suffix(
         wcat,
     )
     return a_out[0, :n], c_out[0], w_out[0, 0]
+
+
+def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
+    """Fused EM iteration kernel: per-row feature vector g (F, Bn) built
+    once serves BOTH the E-score GEMM and (after argmax) the per-cluster
+    M-statistic reduction ``g @ onehotᵀ``.  ``assign_mode="prev"`` skips
+    the E step and reduces statistics under the incoming assignment (the
+    initial M step of the training loop)."""
+    dd = d * d
+
+    def kernel(
+        zt_ref,  # (T·d, Bn)
+        xt_ref,  # (T·l, Bn)
+        lens_ref,  # (1, Bn) int32
+        prev_ref,  # (1, Bn) int32; padded lanes carry -1
+        wg_ref,  # (C, F) E-score weights (zeros on M-only slots)
+        assign_out,  # (1, Bn) int32
+        counts_out,  # (1, C) int32
+        switch_out,  # (1, 1) int32
+        g_out,  # (F, C) float — per-cluster summed features
+    ):
+        Bn = zt_ref.shape[1]
+        dtype = zt_ref.dtype
+        zt = jnp.where(jnp.isfinite(zt_ref[:, :]), zt_ref[:, :], 0.0)
+        xt = jnp.where(jnp.isfinite(xt_ref[:, :]), xt_ref[:, :], 0.0)
+        lens = lens_ref[0, :]
+
+        def z_at(t):
+            return zt[t * d : (t + 1) * d, :]
+
+        def x_at(t):
+            return xt[t * l : (t + 1) * l, :]
+
+        def kron(a, b):
+            return jnp.concatenate(
+                [a[i : i + 1, :] * b for i in range(a.shape[0])], axis=0
+            )
+
+        g1 = jnp.zeros((dd, Bn), dtype)
+        g2 = jnp.zeros((dd, Bn), dtype)
+        g3 = jnp.zeros((dd, Bn), dtype)
+        g4 = jnp.zeros((l * l, Bn), dtype)
+        g5 = jnp.zeros((d * l, Bn), dtype)
+        g7 = jnp.zeros((d, Bn), dtype)
+        g8 = jnp.zeros((d, Bn), dtype)
+        g9 = jnp.zeros((l, Bn), dtype)
+        for t in range(T):
+            z_c, x_c = z_at(t), x_at(t)
+            zz = kron(z_c, z_c)
+            g1 = g1 + zz
+            g4 = g4 + kron(x_c, x_c)
+            g5 = g5 + kron(z_c, x_c)
+            g8 = g8 + z_c
+            g9 = g9 + x_c
+            if t < T - 1:
+                vm_n = (lens > t + 1).astype(dtype)[None, :]
+                g2 = g2 + vm_n * zz
+                g3 = g3 + kron(z_c, z_at(t + 1))
+                g7 = g7 + vm_n * z_c
+        z0 = z_at(0)
+        g = jnp.concatenate(
+            [
+                g1,
+                g2,
+                g3,
+                g4,
+                g5,
+                kron(z0, z0),
+                g7,
+                g8,
+                g9,
+                z0,
+                lens.astype(dtype)[None, :],
+                jnp.ones((1, Bn), dtype),
+            ],
+            axis=0,
+        )  # (F, Bn)
+
+        prev = prev_ref[0, :]
+        validrow = prev >= 0
+        if assign_mode == "prev":
+            na = prev
+            sw_p = jnp.zeros((1, 1), jnp.int32)
+        else:
+            scores = jnp.dot(
+                wg_ref[:, :], g, preferred_element_type=dtype
+            )  # (C, Bn)
+            na = jnp.argmax(scores, axis=0).astype(jnp.int32)
+            sw_p = jnp.sum(
+                ((na != prev) & validrow).astype(jnp.int32)
+            ).reshape(1, 1)
+
+        subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
+        onehot = (na[None, :] == subl) & validrow[None, :]
+        counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
+        mstats = jnp.dot(
+            g, onehot.astype(dtype).T, preferred_element_type=dtype
+        )  # (F, C)
+
+        assign_out[0, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+            g_out[:, :] = jnp.zeros_like(g_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+        g_out[:, :] += mstats
+
+    return kernel
+
+
+def markov_em_fused(
+    z_t: jax.Array,  # (T·d, n)
+    x_t: jax.Array,  # (T·l, n)
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (n,) int32
+    Wg: jax.Array,  # (C, F) from markov.markov_em_weights (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One fused EM iteration pass: ``(assign, counts, switches,
+    g_stats (F, C))`` — E assignment and per-cluster M sufficient
+    statistics from a single read of the batch.  ``assign_mode="prev"``
+    reduces statistics under ``prev_assign`` without an E step (initial
+    M step).  Exact vs the unfused path in f64 interpret mode."""
+    Td, n = z_t.shape
+    assert Td == T * d and x_t.shape == (T * l, n)
+    C, F = Wg.shape
+    pad = (-n) % block_n
+    if pad:
+        z_t = jnp.concatenate(
+            [z_t, jnp.zeros((T * d, pad), z_t.dtype)], axis=1
+        )
+        x_t = jnp.concatenate(
+            [x_t, jnp.zeros((T * l, pad), x_t.dtype)], axis=1
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((pad,), -1, jnp.int32)]
+        )
+    n_pad = z_t.shape[1]
+    a_out, c_out, w_out, g_out = pl.pallas_call(
+        _markov_em_kernel(T, d, l, C, assign_mode),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((T * d, block_n), lambda i: (0, i)),
+            pl.BlockSpec((T * l, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec(Wg.shape, lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((F, C), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((F, C), z_t.dtype),
+        ),
+        interpret=interpret,
+    )(
+        z_t,
+        x_t,
+        lens.astype(jnp.int32).reshape(1, n_pad),
+        prev_assign.astype(jnp.int32).reshape(1, n_pad),
+        Wg,
+    )
+    return a_out[0, :n], c_out[0], w_out[0, 0], g_out

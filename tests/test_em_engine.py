@@ -222,3 +222,39 @@ def test_train_em_sorted_matches_train_em():
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
         )
+
+
+def test_train_em_markov_matches_train_em():
+    """The fused O(T) Markov EM path must reproduce train_em exactly in
+    f64 on suffix-missing data: same statuses, assignments, parameters —
+    no pattern sorting involved."""
+    z, x, labels, true = _make_mixture_data(seed=3, n=400, T=6)
+    rng = np.random.default_rng(2)
+    lens = rng.choice([3, 5, 6], size=400)
+    tmask = np.arange(6)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    v, patterns, pid = _packed(z, x)
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(rng.integers(0, C, size=400), jnp.int32)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), v, patterns, pid,
+        n_steps=50,
+    )
+    p_m, a_m, it_m, st_m = em.train_em_markov(
+        params0,
+        assign0,
+        jnp.asarray(z),
+        jnp.asarray(x),
+        jnp.asarray(lens, jnp.int32),
+        n_steps=50,
+    )
+    assert int(st_ref) == int(st_m)
+    assert int(it_ref) == int(it_m)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_m))
+    for fa, fb in zip(p_ref, p_m):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
