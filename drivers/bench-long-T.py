@@ -1,0 +1,162 @@
+"""Trajectory-length scaling: fused O(T) Markov EM vs the dense-joint
+kernels whose per-row cost grows with D² = (T(d+l))².
+
+The reference's scaling wall in T is the (T(d+l))² joint covariance
+(marginalizable_state_space_model.py joint-moment assembly): at T=512,
+d=5, l=3 that is a 4096² matrix per (cluster, pattern).  The Markov
+factorization (ops/markov.py) never builds it — per-iteration cost is
+O(T·n·(d²+dl+l²)) — so EM stays fast and memory-flat as T grows.
+
+Prints one line per T with ms/EM-iteration for each path (dense skipped
+once its joint moments exceed the chip); run on TPU, ~3 min.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_trajectory_modeling_tpu import config as mtm_config
+
+mtm_config.enable_persistent_compilation_cache()
+
+from multimodal_trajectory_modeling_tpu import ops
+from multimodal_trajectory_modeling_tpu.models import em
+
+N = int(os.environ.get("MTM_LONGT_N", 100_000))
+D_H, D_O, C = 5, 3, 16
+DENSE_T_MAX = 64  # (T(d+l))² joint per (cluster, pattern) beyond this
+
+
+def make(T, n):
+    rng = np.random.default_rng(0)
+    A = rng.normal(scale=0.2, size=(D_H, D_H))
+    H = rng.normal(size=(D_H, D_O))
+    m = rng.normal(size=D_H)
+    lengths = (T // 2, T - 1, T)
+    lens = rng.choice(lengths, size=n)
+    pid = np.searchsorted(np.asarray(lengths), lens).astype(np.int32)
+    patterns = np.stack(
+        [
+            np.concatenate(
+                [
+                    np.repeat(np.arange(T) < Ln, D_H),
+                    np.repeat(np.arange(T) < Ln, D_O),
+                ]
+            )
+            for Ln in lengths
+        ]
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n", "T"))
+    def build(key, lens_dev, n, T):
+        z, x = ops.sample_trajectories(
+            key,
+            n,
+            T,
+            jnp.asarray(m, jnp.float32),
+            jnp.eye(D_H, dtype=jnp.float32) / 5,
+            jnp.asarray(A, jnp.float32),
+            jnp.eye(D_H, dtype=jnp.float32) / 2,
+            jnp.asarray(H, jnp.float32),
+            jnp.eye(D_O, dtype=jnp.float32) / 3,
+        )
+        tmask = jnp.arange(T)[:, None] < lens_dev[None, :]
+        z = jnp.where(tmask[:, :, None], z, jnp.nan)
+        x = jnp.where(tmask[:, :, None], x, jnp.nan)
+        return z, x, em.pack_joint(z, x)
+
+    z, x, v = build(jax.random.PRNGKey(0), jnp.asarray(lens), n, T)
+    return z, x, v, jnp.asarray(patterns), pid, lens
+
+
+def time_markov(z, x, lens, T, params, iters=10):
+    n = z.shape[1]
+    step = jax.jit(functools.partial(em.emstep_markov, T=T))
+    ztp = jnp.transpose(z, (0, 2, 1)).reshape(T * D_H, n)
+    xtp = jnp.transpose(x, (0, 2, 1)).reshape(T * D_O, n)
+    lj = jnp.asarray(lens.astype(np.int32))
+    a = jnp.zeros((n,), jnp.int32)
+    p, a, _c, _w = step(params, ztp, xtp, lj, a)
+    float(p.A[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, a, _c, _w = step(params, ztp, xtp, lj, a)
+    float(p.A[0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def time_dense(z, x, v, patterns, pid, T, params, iters=10):
+    n = v.shape[0]
+    order = np.argsort(pid, kind="stable")
+    sizes = tuple(int(s) for s in np.bincount(pid, minlength=patterns.shape[0]))
+    oj = jnp.asarray(order)
+    vs = v[oj]
+    vt = jnp.swapaxes(vs, 0, 1)
+
+    @functools.partial(jax.jit, static_argnames=("sizes",))
+    def step(params, assign, vj, vjt, pj, sizes):
+        na, cc, sw = em.estep_assign_sorted(
+            params, vj, pj, assign, sizes=sizes, T=T, v_sorted_t=vjt
+        )
+        np_ = em.mstep_sorted(
+            vj, na, pj, sizes=sizes, T=T, d=D_H, l=D_O, n_clusters=C
+        )
+        return np_, na
+
+    a = jnp.zeros((n,), jnp.int32)
+    p, a = step(params, a, vs, vt, patterns, sizes=sizes)
+    float(p.A[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, a = step(params, a, vs, vt, patterns, sizes=sizes)
+    float(p.A[0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    rng = np.random.default_rng(1)
+    rows = []
+    for T in (10, 32, 64, 128, 256, 512):
+        z, x, v, patterns, pid, lens = make(T, N)
+        params = em.MixtureParams(
+            pi=jnp.ones(C, jnp.float32) / C,
+            m=jnp.asarray(rng.normal(size=(C, D_H)), jnp.float32),
+            S=jnp.asarray(np.stack([np.eye(D_H)] * C), jnp.float32),
+            A=jnp.asarray(
+                rng.normal(scale=0.2, size=(C, D_H, D_H)), jnp.float32
+            ),
+            G=jnp.asarray(np.stack([np.eye(D_H)] * C), jnp.float32),
+            H=jnp.asarray(rng.normal(size=(C, D_H, D_O)), jnp.float32),
+            L=jnp.asarray(np.stack([np.eye(D_O)] * C), jnp.float32),
+        )
+        mk = time_markov(z, x, lens, T, params)
+        if T <= DENSE_T_MAX:
+            dn = time_dense(z, x, v, patterns, pid, T, params)
+            print(
+                f"T={T:4d}: markov {mk:8.2f} ms/iter   dense {dn:8.2f} ms/iter"
+                f"   ({dn/mk:.1f}x)",
+                flush=True,
+            )
+        else:
+            dn = None
+            print(
+                f"T={T:4d}: markov {mk:8.2f} ms/iter   dense —— "
+                f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))",
+                flush=True,
+            )
+        rows.append({"T": T, "markov_ms": round(mk, 2),
+                     "dense_ms": None if dn is None else round(dn, 2)})
+    print(json.dumps({"metric": "em_ms_per_iter_vs_T", "n": N, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

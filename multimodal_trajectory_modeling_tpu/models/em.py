@@ -224,6 +224,22 @@ def observed_logliks(
     )(means, covs)
 
 
+def observed_logliks_kalman(
+    params: MixtureParams,
+    x: jax.Array,  # (T, n, l) NaN-suffix-padded observations
+    lens: jax.Array,  # (n,) int32 observed prefix lengths
+) -> jax.Array:
+    """``(C, n)`` observation-marginal log-likelihoods via the O(T)
+    Kalman filter (ops/kalman.py) — the long-T route for
+    :func:`observed_logliks` under suffix missingness (f64-identical to
+    the dense observed-moments path, tested)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    return kalman.kalman_observed_logliks(
+        x, lens, params.m, params.S, params.A, params.G, params.H, params.L
+    )
+
+
 def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
     """Hard MLE assignment ``argmax_c (log π_c + ll_c)`` → ``(n,)`` int32."""
     return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0).astype(jnp.int32)

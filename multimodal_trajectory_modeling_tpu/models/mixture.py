@@ -198,6 +198,29 @@ class MMLinGaussSS_marginalizable:
         self.measurement_matrices = list(np.asarray(params.H, dtype=float))
         self.measurement_covs = list(np.asarray(params.L, dtype=float))
 
+    @staticmethod
+    def _suffix_pattern_lens(patterns, T, d, l):
+        """If every missingness pattern is a pure time-suffix (a length
+        prefix of observed steps, z and x in lockstep), return the per
+        -pattern lengths ``(P,) int32``; else ``None``.  Gates the O(T)
+        fused Markov EM path (ops/markov.py contract)."""
+        P = np.asarray(patterns, dtype=bool)
+        zv = P[:, : T * d].reshape(-1, T, d)
+        xv = P[:, T * d :].reshape(-1, T, l)
+        z_all, z_any = zv.all(-1), zv.any(-1)
+        x_all, x_any = xv.all(-1), xv.any(-1)
+        if not (
+            np.array_equal(z_all, z_any)
+            and np.array_equal(x_all, x_any)
+            and np.array_equal(z_all, x_all)
+        ):
+            return None  # partially-observed time steps or z/x mismatch
+        lens = z_all.sum(axis=1)
+        expect = np.arange(T)[None, :] < lens[:, None]
+        if not np.array_equal(z_all, expect) or lens.min() < 1:
+            return None  # interior gaps
+        return lens.astype(np.int32)
+
     def _packed(self, states, observations, T0=None):
         """Pack (prefix of) a dataset into (v, patterns, pattern_id) device
         arrays; cached for the training data."""
@@ -678,39 +701,61 @@ class MMLinGaussSS_marginalizable:
         every M step exactly like the reference and recording an
         :class:`~..utils.trace.EMTrace` in ``self.last_trace``.
 
-        ``fast=True`` routes through :func:`em.train_em_sorted` — the
-        pattern-sorted fused-kernel production path (~2.5× per iteration on
-        TPU at large n; f64-identical, f32 up to reassociation).  The sort
-        permutation is applied and inverted internally; leave ``False`` for
-        bit-level reference parity on the CPU-x64 path.  ``verbose=True``
-        takes the host-stepped loop and ignores ``fast``."""
+        ``fast=True`` routes the fused-kernel production paths: suffix
+        -only missingness (variable trajectory lengths) takes the O(T)
+        Markov EM kernel (:func:`em.train_em_markov` — one kernel pass
+        per iteration, no pattern sort); any other missingness takes the
+        pattern-sorted dense-joint kernels (:func:`em.train_em_sorted`).
+        Both are f64-identical to the default path, f32 up to
+        reassociation; leave ``False`` for bit-level reference parity on
+        the CPU-x64 path.  ``verbose=True`` takes the host-stepped loop
+        and ignores ``fast``."""
         if verbose:
             return self._train_verbose(n_steps=n_steps)
         _T0, z, x, v, patterns, pid = self._packed(None, None)
         reg_mode = "ridge" if self.alpha > 2 * np_eps else "lstsq"
         if fast:
             pid_np = np.asarray(pid)
-            order = np.argsort(pid_np, kind="stable")
-            sizes = tuple(
-                int(s)
-                for s in np.bincount(pid_np, minlength=patterns.shape[0])
+            plens = self._suffix_pattern_lens(
+                patterns, z.shape[0], z.shape[-1], x.shape[-1]
             )
-            oj = jnp.asarray(order)
-            params, assign_s, iters, status = em.train_em_sorted(
-                self._stacked_params(),
-                jnp.asarray(self.cluster_assignment)[oj],
-                z[:, oj],
-                x[:, oj],
-                v[oj],
-                patterns,
-                sizes=sizes,
-                n_steps=n_steps,
-                reg_mode=reg_mode,
-                alpha=float(self.alpha),
-            )
-            assign = np.empty_like(np.asarray(assign_s))
-            assign[order] = np.asarray(assign_s)  # invert the sort
-            assign = jnp.asarray(assign)
+            if plens is not None:
+                # suffix missingness → fused O(T) Markov EM (one kernel
+                # pass per iteration, no sort; f64-identical, tested)
+                params, assign, iters, status = em.train_em_markov(
+                    self._stacked_params(),
+                    jnp.asarray(self.cluster_assignment),
+                    z,
+                    x,
+                    jnp.asarray(plens[pid_np]),
+                    n_steps=n_steps,
+                    reg_mode=reg_mode,
+                    alpha=float(self.alpha),
+                )
+            else:
+                order = np.argsort(pid_np, kind="stable")
+                sizes = tuple(
+                    int(s)
+                    for s in np.bincount(
+                        pid_np, minlength=patterns.shape[0]
+                    )
+                )
+                oj = jnp.asarray(order)
+                params, assign_s, iters, status = em.train_em_sorted(
+                    self._stacked_params(),
+                    jnp.asarray(self.cluster_assignment)[oj],
+                    z[:, oj],
+                    x[:, oj],
+                    v[oj],
+                    patterns,
+                    sizes=sizes,
+                    n_steps=n_steps,
+                    reg_mode=reg_mode,
+                    alpha=float(self.alpha),
+                )
+                assign = np.empty_like(np.asarray(assign_s))
+                assign[order] = np.asarray(assign_s)  # invert the sort
+                assign = jnp.asarray(assign)
         else:
             params, assign, iters, status = em.train_em(
                 self._stacked_params(),
@@ -902,37 +947,67 @@ class MMLinGaussSS_marginalizable:
         results_params, results_assign, objectives = [], [], []
         if fast:
             pid_np = np.asarray(pid)
-            order = np.argsort(pid_np, kind="stable")
-            sizes = tuple(
-                int(s)
-                for s in np.bincount(pid_np, minlength=patterns.shape[0])
+            plens = self._suffix_pattern_lens(
+                patterns, z.shape[0], z.shape[-1], x.shape[-1]
             )
-            oj = jnp.asarray(order)
-            z_s, x_s, v_s = z[:, oj], x[:, oj], v[oj]
-            pid_s = jnp.asarray(pid_np[order])
-            for cand in candidates:
-                params_c, assign_s, _iters, _status = em.train_em_sorted(
-                    cand._stacked_params(),
-                    jnp.asarray(cand.cluster_assignment)[oj],
-                    z_s,
-                    x_s,
-                    v_s,
-                    patterns,
-                    sizes=sizes,
-                    n_steps=n_steps,
-                    reg_mode=reg_mode,
-                    alpha=float(self.alpha),
-                )
-                obj = float(
-                    em.complete_data_loglik(
-                        params_c, v_s, patterns, pid_s, T=z.shape[0]
+            if plens is not None:
+                # suffix missingness → fused O(T) Markov EM per candidate
+                lens = jnp.asarray(plens[pid_np])
+                for cand in candidates:
+                    params_c, assign_c, _it, _st = em.train_em_markov(
+                        cand._stacked_params(),
+                        jnp.asarray(cand.cluster_assignment),
+                        z,
+                        x,
+                        lens,
+                        n_steps=n_steps,
+                        reg_mode=reg_mode,
+                        alpha=float(self.alpha),
+                    )
+                    obj = float(
+                        em.complete_data_loglik(
+                            params_c, v, patterns, pid, T=z.shape[0]
+                        )
+                    )
+                    results_params.append(params_c)
+                    results_assign.append(np.asarray(assign_c))
+                    objectives.append(obj)
+            else:
+                order = np.argsort(pid_np, kind="stable")
+                sizes = tuple(
+                    int(s)
+                    for s in np.bincount(
+                        pid_np, minlength=patterns.shape[0]
                     )
                 )
-                results_params.append(params_c)
-                a = np.empty(order.shape[0], dtype=np.int32)
-                a[order] = np.asarray(assign_s)  # invert the sort
-                results_assign.append(a)
-                objectives.append(obj)
+                oj = jnp.asarray(order)
+                z_s, x_s, v_s = z[:, oj], x[:, oj], v[oj]
+                pid_s = jnp.asarray(pid_np[order])
+                for cand in candidates:
+                    params_c, assign_s, _iters, _status = (
+                        em.train_em_sorted(
+                            cand._stacked_params(),
+                            jnp.asarray(cand.cluster_assignment)[oj],
+                            z_s,
+                            x_s,
+                            v_s,
+                            patterns,
+                            sizes=sizes,
+                            n_steps=n_steps,
+                            reg_mode=reg_mode,
+                            alpha=float(self.alpha),
+                        )
+                    )
+                    obj = float(
+                        em.complete_data_loglik(
+                            params_c, v_s, patterns, pid_s, T=z.shape[0]
+                        )
+                    )
+                    results_params.append(params_c)
+                    a = np.empty(order.shape[0], dtype=np.int32)
+                    a[order] = np.asarray(assign_s)  # invert the sort
+                    results_assign.append(a)
+                    objectives.append(obj)
         batch_ranges = (
             [] if fast else range(0, len(candidates), starts_per_batch)
         )

@@ -47,3 +47,7 @@ from multimodal_trajectory_modeling_tpu.ops.markov import (  # noqa: F401
     markov_suffix_logliks,
     suffix_lengths,
 )
+from multimodal_trajectory_modeling_tpu.ops.kalman import (  # noqa: F401
+    kalman_filter_covs,
+    kalman_observed_logliks,
+)

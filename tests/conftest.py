@@ -26,3 +26,21 @@ import jax  # noqa: E402
 if os.environ.get("MTM_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A single pytest process accumulates hundreds of XLA CPU executables
+    (x64, 8 virtual devices); past ~90 tests the next large compile
+    segfaults inside backend_compile_and_load (observed repeatedly at
+    the ~67% mark, crash site drifting with test order — state buildup,
+    not any one test; 128 GB host RAM free).  Dropping the caches
+    between modules keeps the process healthy at the cost of some
+    recompilation."""
+    yield
+    jax.clear_caches()

@@ -374,3 +374,39 @@ def test_fast_multistart_matches_default(synth):
         mdl_s.e_complete_data_log_lik(),
         rtol=1e-10,
     )
+
+
+def test_train_fast_interior_missingness_falls_back(synth):
+    """Interior (non-suffix) missingness must fail the suffix gate and
+    route the pattern-sorted dense path — still exactly equal to the
+    default path in f64."""
+    rng = np.random.default_rng(11)
+    z = synth["z"].copy()
+    x = synth["x"].copy()
+    T, n = z.shape[:2]
+    # punch an interior hole in 30% of rows: step T//2 missing entirely
+    hole = rng.random(n) < 0.3
+    z[T // 2, hole] = np.nan
+    x[T // 2, hole] = np.nan
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=5, init="random"
+    )
+    assert (
+        mdl._suffix_pattern_lens(
+            np.asarray(ops.pattern_groups(np.asarray(mdl._packed(None, None)[3]))[0]),
+            T,
+            z.shape[-1],
+            x.shape[-1],
+        )
+        is None
+    )
+    a = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=5, init="random"
+    ).train(n_steps=30)
+    b = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=5, init="random"
+    ).train(n_steps=30, fast=True)
+    np.testing.assert_array_equal(a.cluster_assignment, b.cluster_assignment)
+    assert np.isclose(
+        a.e_complete_data_log_lik(), b.e_complete_data_log_lik()
+    )

@@ -1,0 +1,64 @@
+"""Guard the environment-sensitive posthoc statistics.
+
+The GMM-baseline side of the contingency comparison depends on the
+installed scikit-learn's GaussianMixture initialization (reference env:
+1.2.x; here: 1.9), so the Sharma–Song statistic drifts with environment
+— PARITY.md documents the deviation.  These tests pin what must NOT
+drift: our side's Pearson χ² against the published value, and the
+algebraic invariants of the in-repo Sharma–Song reimplementation."""
+
+import importlib.util
+import pathlib
+import sys
+
+import numpy as np
+import pandas as pd
+import scipy.stats as sp_stats
+
+_REPO = pathlib.Path(__file__).absolute().parent.parent
+
+
+def _load_contingency_module():
+    spec = importlib.util.spec_from_file_location(
+        "contingency_tbl_comp_gmm_adni",
+        _REPO / "posthoc" / "contingency_tbl_comp_gmm_adni.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_our_contingency_table_pearson_chi2_matches_published():
+    """Our model's test-fold contingency table (shipped artifact of the
+    full xval run) must give the published Pearson χ² = 308.01
+    (reference posthoc/contingency_tbl_comp_gmm_adni.R output) — this
+    side has no sklearn dependence and must never drift."""
+    tbl = (
+        pd.read_csv(
+            _REPO / "posthoc" / "results" / "contingency_table_ours_test.csv",
+            index_col="cluster",
+        )
+        .to_numpy()
+        .astype(float)
+    )
+    chi2, _p, dof, _e = sp_stats.chi2_contingency(tbl)
+    assert abs(chi2 - 308.01) < 0.05, chi2
+    assert dof == (tbl.shape[0] - 1) * (tbl.shape[1] - 1)
+
+
+def test_sharma_song_invariants():
+    mod = _load_contingency_module()
+    rng = np.random.default_rng(0)
+    t = rng.integers(5, 60, size=(4, 3)).astype(float)
+    # identical tables share their residual pattern exactly → stat 0
+    stat, df, p = mod.sharma_song_test([t, t])
+    assert abs(stat) < 1e-9
+    assert df == (2 - 1) * (4 - 1) * (3 - 1)
+    assert p > 0.999
+    # symmetry in table order
+    u = rng.integers(5, 60, size=(4, 3)).astype(float)
+    s1, _, _ = mod.sharma_song_test([t, u])
+    s2, _, _ = mod.sharma_song_test([u, t])
+    assert np.isclose(s1, s2)
+    assert s1 > 0.0
