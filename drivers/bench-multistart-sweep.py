@@ -140,18 +140,21 @@ def main():
         picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
         return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
 
-    # --- fast path: sequential fused-kernel loop, one compile ---------
-    run = jax.jit(
-        functools.partial(em.train_em_sorted, sizes=sizes, n_steps=N_STEPS)
-    )
+    # per-row lengths (suffix missingness by construction)
+    plens = np.asarray(patterns[:, : T * D_H]).reshape(-1, T, D_H)
+    plens = plens.all(-1).sum(-1)
+    lens = jnp.asarray(np.repeat(plens, sizes).astype(np.int32))
+
+    # --- fast path: sequential fused O(T) Markov EM loop, one compile -
+    run = jax.jit(functools.partial(em.train_em_markov, n_steps=N_STEPS))
     # warm-up compile
-    p, a, it, st = run(params0, jnp.asarray(starts[0]), z, x, v, patterns)
+    p, a, it, st = run(params0, jnp.asarray(starts[0]), z, x, lens)
     float(p.A[0, 0, 0])
     float(sorted_objective(p, v, patterns, sizes=sizes))
     t0 = time.perf_counter()
     tot_iters, objs = 0, []
     for i in range(R):
-        p, a, it, st = run(params0, jnp.asarray(starts[i]), z, x, v, patterns)
+        p, a, it, st = run(params0, jnp.asarray(starts[i]), z, x, lens)
         tot_iters += int(it)
         objs.append(float(sorted_objective(p, v, patterns, sizes=sizes)))
     dt_fast = time.perf_counter() - t0

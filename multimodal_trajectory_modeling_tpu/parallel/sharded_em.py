@@ -36,6 +36,7 @@ from multimodal_trajectory_modeling_tpu.parallel import mesh as mesh_lib
 __all__ = [
     "train_em_data_parallel",
     "train_em_shardmap",
+    "train_em_markov_shardmap",
     "train_em_multistart_sharded",
     "train_em_multistart_2d",
 ]
@@ -379,3 +380,134 @@ def train_em_multistart_2d(
         out_specs=(param_spec_r, P("restart", "data"), P("restart"), P("restart")),
         check_vma=False,
     )(params_stacked, assign0, z, x, v, patterns, pattern_id)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
+)
+def train_em_markov_shardmap(
+    params0,
+    assign0,
+    z,
+    x,
+    lens,
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+):
+    """Data-parallel fused O(T) Markov EM (suffix missingness) inside
+    ``shard_map``: each shard runs ONE fused kernel pass per iteration
+    (ops/pallas_markov.py) and the ONLY cross-device traffic is
+
+      - ``psum`` of the per-cluster feature-statistics block ``(F, C)``
+        (~9 KB at the benchmark config — it already contains the
+        membership counts as its last row), and
+      - ``psum`` of the switch count (one scalar).
+
+    Bit-equal to the single-device :func:`..models.em.train_em_markov`
+    up to psum reassociation (exact on the f64 test mesh)."""
+    from multimodal_trajectory_modeling_tpu.models.em import (
+        MixtureParams,
+        STATUS_CONVERGED,
+        STATUS_EMPTY_CLUSTER,
+        STATUS_INIT_ABORT,
+        STATUS_RUNNING,
+        _unpack_markov_em_stats,
+        counts_from_assign,
+    )
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    C = params0.pi.shape[0]
+    T, _, d = z.shape
+    l = x.shape[-1]
+    axis = "data"
+    interpret = jax.devices()[0].platform not in ("tpu",)
+
+    def shard_fn(params0, assign0, z_l, x_l, lens_l):
+        assign0 = assign0.astype(jnp.int32)
+        n_l = z_l.shape[1]
+        z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
+        x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
+        n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
+
+        def fused(params, prev, mode):
+            Wg = mops.markov_em_weights(
+                params.m, params.S, params.A, params.G, params.H, params.L
+            )
+            Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+            a, c, w, g = pallas_markov.markov_em_fused(
+                z_tp,
+                x_tp,
+                lens_l,
+                prev,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=mode,
+                interpret=interpret,
+            )
+            g = jax.lax.psum(g, axis)
+            w = jax.lax.psum(w, axis)
+            c = jax.lax.psum(c, axis)
+            tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
+            pi = c.astype(z_l.dtype) / n_total
+            m0, S0 = rops.mean_cov_from_stats(istats)
+            A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+            H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+            return MixtureParams(pi, m0, S0, A, G, H, L), a, c, w
+
+        counts0 = jax.lax.psum(counts_from_assign(assign0, C), axis)
+        init_abort = jnp.min(counts0) <= min_members
+        params_m, _, _, _ = fused(params0, assign0, "prev")
+        params_start = jax.tree.map(
+            lambda a, b: jnp.where(init_abort, a, b), params0, params_m
+        )
+        status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+        def cond(state):
+            _, _, i, status = state
+            return (status == STATUS_RUNNING) & (i < n_steps)
+
+        def body(state):
+            params, assign, i, status = state
+            new_params, new_assign, counts, switches = fused(
+                params, assign, "argmax"
+            )
+            converged = switches == 0
+            empty = (~converged) & (jnp.min(counts) <= min_members)
+            run_m = (~converged) & (~empty)
+            params_out = jax.tree.map(
+                lambda a, b: jnp.where(run_m, a, b), new_params, params
+            )
+            status_out = jnp.where(
+                converged,
+                STATUS_CONVERGED,
+                jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
+            )
+            return (params_out, new_assign, i + 1, status_out)
+
+        params_f, assign_f, iters, status = jax.lax.while_loop(
+            cond, body, (params_start, assign0, jnp.int32(0), status0)
+        )
+        return params_f, assign_f, iters, status
+
+    param_spec = jax.tree.map(lambda _: P(), params0)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis),
+        ),
+        out_specs=(param_spec, P(axis), P(), P()),
+        check_vma=False,
+    )(params0, assign0, z, x, lens)

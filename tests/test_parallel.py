@@ -256,3 +256,38 @@ def test_restart_parallel_multistart_matches_unsharded(problem):
     np.testing.assert_allclose(
         np.asarray(got[4]), np.asarray(ref[4]), rtol=1e-9
     )
+
+
+def test_markov_shardmap_matches_single_device(problem):
+    """The data-parallel fused Markov EM (one (F, C)-stats psum + one
+    switch psum per iteration) must reproduce the single-device
+    train_em_markov exactly on the f64 test mesh."""
+    z = np.asarray(problem["z"])
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+    ref = em.train_em_markov(
+        problem["params0"],
+        problem["assign0"],
+        problem["z"],
+        problem["x"],
+        lens,
+        n_steps=100,
+    )
+    mesh = mesh_lib.make_mesh()
+    got = sharded_em.train_em_markov_shardmap(
+        problem["params0"],
+        problem["assign0"],
+        problem["z"],
+        problem["x"],
+        lens,
+        mesh=mesh,
+        n_steps=100,
+    )
+    assert int(got[3]) == int(ref[3])
+    assert int(got[2]) == int(ref[2])
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
+        )
