@@ -450,6 +450,50 @@ def emstep_markov(
     return new_params, assign, counts, switches
 
 
+@functools.partial(jax.jit, static_argnames=("reg_mode", "alpha"))
+def emstep_markov_xla(
+    params: MixtureParams,
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (n,) int32
+    *,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """Pure-XLA fused EM iteration via the scan feature builder
+    (ops/markov.py:markov_em_features) — the arbitrary-T twin of
+    :func:`emstep_markov` (whose Pallas kernel statically unrolls the
+    time loop, comfortable to T ≈ 16).  Identical math: E scores and
+    per-cluster M statistics are both linear maps of the same (n, F)
+    feature matrix."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+
+    C = params.pi.shape[0]
+    d = params.m.shape[1]
+    l = params.H.shape[2]
+    n = z.shape[1]
+    feats = mops.markov_em_features(z, x, lens)  # (n, F)
+    Wg = mops.markov_em_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+    scores = feats @ Wg.T  # (n, C)
+    assign = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    switches = jnp.sum(assign != prev_assign.astype(jnp.int32))
+    onehot = (
+        assign[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).astype(z.dtype)
+    counts = jnp.sum(onehot, axis=0).astype(jnp.int32)
+    g = feats.T @ onehot  # (F, C)
+    tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
+    pi = counts.astype(z.dtype) / n
+    m0, S0 = rops.mean_cov_from_stats(istats)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+    return MixtureParams(pi, m0, S0, A, G, H, L), assign, counts, switches
+
+
 def mstep_sorted(
     v_sorted: jax.Array,
     assign: jax.Array,

@@ -266,3 +266,73 @@ def markov_em_weights(
         ],
         axis=1,
     )
+
+
+def markov_em_features(
+    z: jax.Array,  # (T, n, d) NaN beyond each row's length
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+) -> jax.Array:
+    """Per-row fused-EM feature matrix ``(n, F)`` in the g-layout of
+    :func:`markov_em_weights` — the pure-XLA (lax.scan) twin of the
+    Pallas kernel's in-VMEM accumulation, O(T) time / O(n·F) memory, for
+    T beyond the kernel's static-unroll comfort zone (T ≳ 64)."""
+    T, n, d = z.shape
+    l = x.shape[-1]
+    dtype = z.dtype
+    zm = jnp.where(jnp.isfinite(z), z, 0.0)
+    xm = jnp.where(jnp.isfinite(x), x, 0.0)
+    tgrid = jnp.arange(T, dtype=lens.dtype)
+    vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
+
+    def outer(a, b):
+        return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+
+    def step(carry, inp):
+        g1, g2, g3, g4, g5, g7, g8, g9 = carry
+        z_t, z_n, x_t, vm_t, vm_n = inp
+        zz = outer(z_t, z_t)
+        g1 = g1 + vm_t[:, None] * zz
+        g2 = g2 + vm_n[:, None] * zz
+        g3 = g3 + vm_n[:, None] * outer(z_t, z_n)
+        g4 = g4 + vm_t[:, None] * outer(x_t, x_t)
+        g5 = g5 + vm_t[:, None] * outer(z_t, x_t)
+        g7 = g7 + vm_n[:, None] * z_t
+        g8 = g8 + vm_t[:, None] * z_t
+        g9 = g9 + vm_t[:, None] * x_t
+        return (g1, g2, g3, g4, g5, g7, g8, g9), None
+
+    zeros = lambda k: jnp.zeros((n, k), dtype)  # noqa: E731
+    z_next = jnp.concatenate([zm[1:], jnp.zeros((1, n, d), dtype)], axis=0)
+    vm_next = jnp.concatenate([vm[1:], jnp.zeros((1, n), dtype)], axis=0)
+    (g1, g2, g3, g4, g5, g7, g8, g9), _ = jax.lax.scan(
+        step,
+        (
+            zeros(d * d),
+            zeros(d * d),
+            zeros(d * d),
+            zeros(l * l),
+            zeros(d * l),
+            zeros(d),
+            zeros(d),
+            zeros(l),
+        ),
+        (zm, z_next, xm, vm, vm_next),
+    )
+    return jnp.concatenate(
+        [
+            g1,
+            g2,
+            g3,
+            g4,
+            g5,
+            outer(zm[0], zm[0]),
+            g7,
+            g8,
+            g9,
+            zm[0],
+            lens.astype(dtype)[:, None],
+            jnp.ones((n, 1), dtype),
+        ],
+        axis=1,
+    )

@@ -14,8 +14,10 @@ terms.  Per-row FLOPs ≈ 2·T·C·(d²·3+l²+dl) vs the dense kernel's
 2·C·D·(D+C) with D = T(d+l): ~6× fewer at the benchmark config, and the
 gap grows linearly with T.
 
-The time loop is a static unroll — intended for moderate T (≲64); the
-XLA scan path (:func:`..ops.markov.markov_suffix_logliks`) covers long T.
+The time loop is a static unroll — intended for small T (the ADNI T=4 /
+benchmark T=10 regime; Mosaic compile time explodes beyond T ≈ 16); the
+XLA scan paths (:func:`..ops.markov.markov_suffix_logliks`,
+:func:`..models.em.emstep_markov_xla`) cover long T.
 
 Reference semantics: the same per-row densities as the numba hot loop
 (marginalizable_state_space_model.py:728-773) evaluated through the chain

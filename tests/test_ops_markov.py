@@ -145,3 +145,31 @@ def test_markov_assign_kernel_matches_logliks():
         np.asarray(c), np.bincount(want, minlength=C)
     )
     assert int(w) == int(np.sum(want != np.asarray(prev)))
+
+
+def test_emstep_markov_xla_matches_pallas():
+    """The scan-based XLA EM step must equal the fused Pallas kernel EM
+    step exactly in f64 (same assignments, counts, switches, params)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(6)
+    C, T, n, d, l = 3, 6, 320, 2, 3
+    z, x, lens, params_t = _mixture(7, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    params = em.MixtureParams(pi=pi, m=m, S=S, A=A, G=G, H=H, L=L)
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+    p1, a1, c1, w1 = em.emstep_markov(
+        params, z_t, x_t, lens, prev, T=T, interpret=True
+    )
+    p2, a2, c2, w2 = em.emstep_markov_xla(params, z, x, lens, prev)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert int(w1) == int(w2)
+    for fa, fb in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
