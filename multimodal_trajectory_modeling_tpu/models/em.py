@@ -650,6 +650,28 @@ def model_loglik(
     )
 
 
+@jax.jit
+def model_loglik_markov(
+    params: MixtureParams,
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+) -> jax.Array:
+    """:func:`model_loglik` in O(T) via the Markov factorization — the
+    scalable route for model selection (AIC/BIC sweeps over n_clusters)
+    on long or large batches with suffix missingness; f64-identical to
+    the dense path (ops/markov.py, tested)."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+
+    W = mops.markov_cluster_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    ll = mops.markov_suffix_logliks(z, x, lens, W)
+    return jnp.sum(
+        jax.scipy.special.logsumexp(jnp.log(params.pi)[:, None] + ll, axis=0)
+    )
+
+
 def _tree_select(pred, on_true, on_false):
     return jax.tree.map(
         lambda a, b: jnp.where(pred, a, b), on_true, on_false

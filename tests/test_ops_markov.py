@@ -173,3 +173,23 @@ def test_emstep_markov_xla_matches_pallas():
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
         )
+
+
+def test_model_loglik_markov_matches_dense():
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(8)
+    C, T, n, d, l = 3, 6, 250, 2, 3
+    z, x, lens, params_t = _mixture(9, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    params = em.MixtureParams(pi=pi, m=m, S=S, A=A, G=G, H=H, L=L)
+    v = em.pack_joint(z, x)
+    patterns, pid = ops.pattern_groups(np.asarray(v))
+    want = float(
+        em.model_loglik(
+            params, v, jnp.asarray(patterns), jnp.asarray(pid), T=T
+        )
+    )
+    got = float(em.model_loglik_markov(params, z, x, lens))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
