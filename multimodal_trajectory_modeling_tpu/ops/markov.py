@@ -168,42 +168,34 @@ def markov_suffix_logliks(
     zm = jnp.where(jnp.isfinite(z), z, 0.0)
     xm = jnp.where(jnp.isfinite(x), x, 0.0)
     tgrid = jnp.arange(T, dtype=lens.dtype)
-    vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
+    vm_next = (tgrid[:, None] + 1 < lens[None, :]).astype(dtype)  # (T, n)
+    zm_vmn = zm * vm_next[:, :, None]
 
-    # masked feature accumulation over time — a scan keeps memory O(n·F)
-    # at any T (nothing (T, n, ·) beyond the inputs is materialized)
-    def outer(a, b):  # (n, p), (n, q) -> (n, p*q)
-        return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+    # slice-pair formulation: every Kronecker-sum feature is
+    # Σ_t A[:, :, a] ⊙ B[:, :, b] reduced over t — (T, n) operands keep
+    # the batch on the lane axis (a "tnd,tne->nde" einsum lane-pads the
+    # tiny trailing dims ~25× and a lax.scan of outer products took
+    # ~7 min through the remote TPU compiler; this compiles in seconds)
+    def pair(a, b):  # Σ_t a_t ⊗ b_t per row → (n, p·q)
+        return jnp.stack(
+            [
+                jnp.sum(a[:, :, i] * b[:, :, j], axis=0)
+                for i in range(a.shape[2])
+                for j in range(b.shape[2])
+            ],
+            axis=1,
+        )
 
-    def step(carry, inp):
-        phi1, phi2, phic, phix, phixz = carry
-        z_t, z_n, x_t, vm_t, vm_n = inp
-        zz = outer(z_t, z_t)
-        phi1 = phi1 + vm_t[:, None] * zz
-        phi2 = phi2 + vm_n[:, None] * zz
-        phic = phic + vm_n[:, None] * outer(z_t, z_n)
-        phix = phix + vm_t[:, None] * outer(x_t, x_t)
-        phixz = phixz + vm_t[:, None] * outer(z_t, x_t)
-        return (phi1, phi2, phic, phix, phixz), None
-
-    zeros = lambda k: jnp.zeros((n, k), dtype)  # noqa: E731
-    z_next = jnp.concatenate([zm[1:], jnp.zeros((1, n, d), dtype)], axis=0)
-    vm_next = jnp.concatenate([vm[1:], jnp.zeros((1, n), dtype)], axis=0)
-    (phi1, phi2, phic, phix, phixz), _ = jax.lax.scan(
-        step,
-        (zeros(d * d), zeros(d * d), zeros(d * d), zeros(l * l), zeros(d * l)),
-        (zm, z_next, xm, vm, vm_next),
-    )
-
+    z0 = zm[0]
     feats = jnp.concatenate(
         [
-            phi1,
-            outer(zm[0], zm[0]),
-            phi2,
-            phic,
-            phix,
-            phixz,
-            zm[0],
+            pair(zm, zm),  # Φ1
+            (z0[:, :, None] * z0[:, None, :]).reshape(n, -1),  # Φ0
+            pair(zm_vmn, zm),  # Φ2
+            pair(zm[:-1], zm[1:]),  # Φc
+            pair(xm, xm),  # Φx
+            pair(zm, xm),  # Φxz
+            z0,
             lens.astype(dtype)[:, None],
             jnp.ones((n, 1), dtype),
         ],
@@ -274,51 +266,46 @@ def markov_em_features(
     lens: jax.Array,  # (n,) int32
 ) -> jax.Array:
     """Per-row fused-EM feature matrix ``(n, F)`` in the g-layout of
-    :func:`markov_em_weights` — the pure-XLA (lax.scan) twin of the
-    Pallas kernel's in-VMEM accumulation, O(T) time / O(n·F) memory, for
-    T beyond the kernel's static-unroll comfort zone (T ≳ 64)."""
+    :func:`markov_em_weights` — the pure-XLA twin of the Pallas kernel's
+    in-VMEM accumulation, for T beyond the kernel's static-unroll comfort
+    zone (T ≳ 16).
+
+    Formulated as (T, n) slice-pair products reduced over t (batch on
+    the lane axis) — a ``lax.scan`` of outer products took ~7 MINUTES to
+    compile through the remote TPU compiler at n=1e5, and a
+    ``"tnd,tne->nde"`` einsum lane-pads the tiny trailing dims ~25×.
+    NaN→0 sanitization makes most validity masks implicit (zeroed steps
+    contribute nothing); only the g2/g7 vm_{t+1}-masked z_t terms need
+    the explicit shifted mask."""
     T, n, d = z.shape
     l = x.shape[-1]
     dtype = z.dtype
     zm = jnp.where(jnp.isfinite(z), z, 0.0)
     xm = jnp.where(jnp.isfinite(x), x, 0.0)
     tgrid = jnp.arange(T, dtype=lens.dtype)
-    vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
+    vm_next = (tgrid[:, None] + 1 < lens[None, :]).astype(dtype)  # (T, n)
+    zm_vmn = zm * vm_next[:, :, None]
 
-    def outer(a, b):
-        return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+    def pair(a, b):  # Σ_t a_t ⊗ b_t per row → (n, p·q)
+        return jnp.stack(
+            [
+                jnp.sum(a[:, :, i] * b[:, :, j], axis=0)
+                for i in range(a.shape[2])
+                for j in range(b.shape[2])
+            ],
+            axis=1,
+        )
 
-    def step(carry, inp):
-        g1, g2, g3, g4, g5, g7, g8, g9 = carry
-        z_t, z_n, x_t, vm_t, vm_n = inp
-        zz = outer(z_t, z_t)
-        g1 = g1 + vm_t[:, None] * zz
-        g2 = g2 + vm_n[:, None] * zz
-        g3 = g3 + vm_n[:, None] * outer(z_t, z_n)
-        g4 = g4 + vm_t[:, None] * outer(x_t, x_t)
-        g5 = g5 + vm_t[:, None] * outer(z_t, x_t)
-        g7 = g7 + vm_n[:, None] * z_t
-        g8 = g8 + vm_t[:, None] * z_t
-        g9 = g9 + vm_t[:, None] * x_t
-        return (g1, g2, g3, g4, g5, g7, g8, g9), None
-
-    zeros = lambda k: jnp.zeros((n, k), dtype)  # noqa: E731
-    z_next = jnp.concatenate([zm[1:], jnp.zeros((1, n, d), dtype)], axis=0)
-    vm_next = jnp.concatenate([vm[1:], jnp.zeros((1, n), dtype)], axis=0)
-    (g1, g2, g3, g4, g5, g7, g8, g9), _ = jax.lax.scan(
-        step,
-        (
-            zeros(d * d),
-            zeros(d * d),
-            zeros(d * d),
-            zeros(l * l),
-            zeros(d * l),
-            zeros(d),
-            zeros(d),
-            zeros(l),
-        ),
-        (zm, z_next, xm, vm, vm_next),
-    )
+    g1 = pair(zm, zm)
+    g2 = pair(zm_vmn, zm)
+    g3 = pair(zm[:-1], zm[1:])
+    g4 = pair(xm, xm)
+    g5 = pair(zm, xm)
+    g7 = jnp.sum(zm_vmn, axis=0)
+    g8 = jnp.sum(zm, axis=0)
+    g9 = jnp.sum(xm, axis=0)
+    z0 = zm[0]
+    zz0 = (z0[:, :, None] * z0[:, None, :]).reshape(n, -1)
     return jnp.concatenate(
         [
             g1,
@@ -326,11 +313,11 @@ def markov_em_features(
             g3,
             g4,
             g5,
-            outer(zm[0], zm[0]),
+            zz0,
             g7,
             g8,
             g9,
-            zm[0],
+            z0,
             lens.astype(dtype)[:, None],
             jnp.ones((n, 1), dtype),
         ],

@@ -473,6 +473,11 @@ def estep_assign_pattern_sorted_t(
     D, n = v_t.shape
     C, P = const.shape
     assert len(sizes) == P and sum(sizes) == n
+    # the kernel holds ~4 (C·D, block) f32 intermediates in VMEM — shrink
+    # the batch block as D grows so large-T dense batches still fit
+    # (observed: block 1024 at C·D=4096 → 30 MB scoped-vmem OOM)
+    while block_n > 128 and 4 * C * D * block_n * 4 > 48 * 1024 * 1024:
+        block_n //= 2
     fmask = patterns.astype(v_t.dtype)  # (P, D)
 
     mp = means[None, :, :] * fmask[:, None, :]  # (P, C, D)
@@ -522,6 +527,13 @@ def estep_assign_pattern_sorted_t(
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             interpret=interpret,
+            compiler_params=(
+                None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                )
+            ),
         )(
             vp,
             ap.reshape(1, s_pad),
