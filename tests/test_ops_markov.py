@@ -193,3 +193,101 @@ def test_model_loglik_markov_matches_dense():
     )
     got = float(em.model_loglik_markov(params, z, x, lens))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_all_nan_rows_fail_suffix_gate():
+    """A dataset containing an all-NaN instance (len 0) must NOT route
+    the Markov path — the dense kernels give such rows logpdf 0.0 (the
+    reference semantics); the gate returns None."""
+    from multimodal_trajectory_modeling_tpu.models.mixture import (
+        MMLinGaussSS_marginalizable,
+    )
+
+    T, d, l = 4, 2, 3
+    # pattern rows: full, half, empty
+    patterns = np.stack(
+        [
+            np.ones(T * (d + l), dtype=bool),
+            np.concatenate(
+                [
+                    np.repeat(np.arange(T) < 2, d),
+                    np.repeat(np.arange(T) < 2, l),
+                ]
+            ),
+            np.zeros(T * (d + l), dtype=bool),
+        ]
+    )
+    assert (
+        MMLinGaussSS_marginalizable._suffix_pattern_lens(patterns, T, d, l)
+        is None
+    )
+    # without the empty row the gate passes
+    lens = MMLinGaussSS_marginalizable._suffix_pattern_lens(
+        patterns[:2], T, d, l
+    )
+    np.testing.assert_array_equal(lens, [4, 2])
+
+
+def test_train_em_markov_single_cluster():
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(12)
+    T, n, d, l = 5, 120, 2, 2
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    lens = np.full(n, T, dtype=np.int32)
+    params0 = em.MixtureParams(
+        pi=jnp.ones(1),
+        m=jnp.asarray(rng.normal(size=(1, d))),
+        S=jnp.asarray(np.eye(d)[None]),
+        A=jnp.asarray(rng.normal(scale=0.3, size=(1, d, d))),
+        G=jnp.asarray(np.eye(d)[None]),
+        H=jnp.asarray(rng.normal(size=(1, d, l))),
+        L=jnp.asarray(np.eye(l)[None]),
+    )
+    p, a, it, st = em.train_em_markov(
+        params0,
+        jnp.zeros(n, jnp.int32),
+        jnp.asarray(z),
+        jnp.asarray(x),
+        jnp.asarray(lens),
+        n_steps=10,
+    )
+    # single cluster: first E step changes nothing -> converged
+    assert int(st) == em.STATUS_CONVERGED
+    np.testing.assert_array_equal(np.asarray(a), np.zeros(n))
+    assert np.all(np.isfinite(np.asarray(p.A)))
+
+
+def test_markov_f32_long_T_accuracy():
+    """f32 chain-rule accumulation at T=512 stays within ~1e-4 relative
+    of f64 (documents the production-precision behavior at long T)."""
+    T, n, d, l, C = 512, 32, 2, 3, 2
+    rng = np.random.default_rng(13)
+    _, _, _, params_t = _mixture(2, C=C, T=8, n=4, d=d, l=l)
+    m, S, A, G, H, L = (np.asarray(p) for p in params_t)
+    A = 0.4 * A / np.abs(np.linalg.eigvals(A)).max(axis=-1)[:, None, None]
+    zb = np.zeros((T, n, d))
+    zb[0] = rng.normal(size=(n, d))
+    for t in range(T - 1):
+        zb[t + 1] = zb[t] @ A[0] + 0.1 * rng.normal(size=(n, d))
+    xb = zb @ H[0] + rng.normal(size=(T, n, l))
+    lens = jnp.full((n,), T, jnp.int32)
+    p64 = tuple(jnp.asarray(p, jnp.float64) for p in (m, S, A, G, H, L))
+    p32 = tuple(jnp.asarray(p, jnp.float32) for p in (m, S, A, G, H, L))
+    ll64 = np.asarray(
+        markov.markov_suffix_logliks(
+            jnp.asarray(zb), jnp.asarray(xb), lens,
+            markov.markov_cluster_weights(*p64),
+        )
+    )
+    ll32 = np.asarray(
+        markov.markov_suffix_logliks(
+            jnp.asarray(zb, jnp.float32),
+            jnp.asarray(xb, jnp.float32),
+            lens,
+            markov.markov_cluster_weights(*p32),
+        )
+    )
+    rel = np.max(np.abs(ll32 - ll64) / np.abs(ll64))
+    assert rel < 1e-4, rel
