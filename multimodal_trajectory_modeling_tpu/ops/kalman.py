@@ -10,9 +10,11 @@ requires integrating the latent chain — the classic Kalman prediction
 
 with the predictive moments (μ_t, P_t) updated by the filter recursions.
 The reference evaluates this by materializing the (T·l)² observed
-covariance and a masked dense quadratic form
-(marginalizable_state_space_model.py observed moments + hot loop) —
-O(T²) memory; the filter is O(T) and exact.
+covariance and a masked dense quadratic form (observed moments ``mmX`` /
+``CXX``: marginalizable_state_space_model.py:186-257, consumed by
+``observed_condl_log_lik_first_T0_steps``,
+marginalizable_mixture_model.py:997-1048, through the numba hot loop
+:728-773) — O(T²) memory; the filter is O(T) and exact.
 
 TPU shape: the covariance-side recursion (P_t, innovation inverses,
 gains) is DATA-INDEPENDENT — one ``lax.scan`` over T of (d, d) algebra

@@ -269,6 +269,12 @@ def mstep_stats_gram_sorted(
     C = n_clusters
     u = D + 1
     P = len(sizes)
+    # the kernel's wide-B intermediates are ~2 (block, C·u) f32 buffers —
+    # shrink the batch block as C·u grows so long-T dense batches fit
+    # scoped VMEM (at T=64, C=16: C·u = 8208 → block 4096 would need
+    # ~134 MB)
+    while block_n > 128 and 2 * block_n * C * u * 4 > 48 * 1024 * 1024:
+        block_n //= 2
 
     grams = []
     off = 0
