@@ -312,7 +312,7 @@ def markov_em_fused(
     d: int,
     l: int,
     assign_mode: str = "argmax",
-    block_n: int = 1024,
+    block_n: int = 2048,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused EM iteration pass: ``(assign, counts, switches,
