@@ -71,7 +71,7 @@ def kalman_filter_covs(
     return K, Sinv, logdet
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("unroll",))
 def kalman_observed_logliks(
     x: jax.Array,  # (T, n, l) NaN beyond each row's length
     lens: jax.Array,  # (n,) int32 observed prefix lengths
@@ -81,12 +81,22 @@ def kalman_observed_logliks(
     G: jax.Array,  # (C, d, d)
     H: jax.Array,  # (C, d, l)
     L: jax.Array,  # (C, l, l)
+    *,
+    unroll: bool = None,
 ) -> jax.Array:
     """``(C, n)`` marginal log-densities ``log p(x_{1:len_i})`` per
     cluster — exactly the dense observed-moments masked-Gaussian values
-    for suffix missingness, in O(T) time and memory."""
+    for suffix missingness, in O(T) time and memory.
+
+    ``unroll`` selects a static Python time loop for the per-row mean
+    /innovation pass instead of ``lax.scan``: the remote TPU compiler
+    takes minutes on large-carry scans (observed >9 min at n=1e5), while
+    the unrolled loop compiles in seconds; default unrolls for T ≤ 128
+    (the tiny data-independent covariance scan always stays a scan)."""
     T, n, l = x.shape
     dtype = x.dtype
+    if unroll is None:
+        unroll = T <= 128
     xm = jnp.where(jnp.isfinite(x), x, 0.0)
     tgrid = jnp.arange(T, dtype=lens.dtype)
     vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
@@ -107,11 +117,17 @@ def kalman_observed_logliks(
             return (mu_next, ll), None
 
         mu0 = jnp.broadcast_to(mc[None, :], (n, mc.shape[0]))
-        (_, ll), _ = jax.lax.scan(
-            step,
-            (mu0, jnp.zeros((n,), dtype)),
-            (xm, vm, K, Sinv, logdet),
-        )
+        carry = (mu0, jnp.zeros((n,), dtype))
+        if unroll:
+            for t in range(T):
+                carry, _ = step(
+                    carry, (xm[t], vm[t], K[t], Sinv[t], logdet[t])
+                )
+            ll = carry[1]
+        else:
+            (_, ll), _ = jax.lax.scan(
+                step, carry, (xm, vm, K, Sinv, logdet)
+            )
         return ll
 
     return jax.vmap(one_cluster)(m, S, A, G, H, L)
