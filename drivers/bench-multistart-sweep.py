@@ -4,10 +4,10 @@ Reference protocol: a sequential Python loop over restarts, each a full
 EM training run (marginalizable_mixture_model.py:1368-1471).  The rebuild
 offers two device schedules:
 
-- ``fast`` — one pattern sort, one compile, restarts replayed through the
-  fused-kernel :func:`em.train_em_sorted` loop at full per-iteration
-  throughput (the path ``train_with_multiple_random_starts(fast=True)``
-  routes at large n);
+- ``fast`` — one compile, restarts replayed through the fused O(T)
+  Markov EM loop (:func:`em.train_em_markov`; objectives via the same
+  kernel's Σ-max-score output) — the path
+  ``train_with_multiple_random_starts(fast=True)`` routes at large n;
 - ``vmapped`` — :func:`em.train_em_multistart` batches restarts on the
   restart axis (the small-n default; at n=1e6 its XLA E/M steps dominate).
 
@@ -129,34 +129,36 @@ def main():
     z, x, v, patterns, pid, sizes, labels = make_mixture(N)
     n = v.shape[0]
     starts = noisy_starts(labels, R)
-    # params0 is only consulted on init-abort (train_em_sorted runs its own
+    # params0 is only consulted on init-abort (the trainer runs its own
     # initial M-step from assign0) — a shared dummy keeps the loop lean
     params0 = em.mstep(z, x, jnp.asarray(starts[0]), n_clusters=C)
-
-    @functools.partial(jax.jit, static_argnames=("sizes",))
-    def sorted_objective(params, vj, pj, sizes):
-        ll = em.estep_logliks_sorted(params, vj, pj, sizes=sizes, T=T)
-        a = em.assignments_from_logliks(params.pi, ll)
-        picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
-        return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
 
     # per-row lengths (suffix missingness by construction)
     plens = np.asarray(patterns[:, : T * D_H]).reshape(-1, T, D_H)
     plens = plens.all(-1).sum(-1)
     lens = jnp.asarray(np.repeat(plens, sizes).astype(np.int32))
+    ztp = jax.jit(
+        lambda a_: jnp.transpose(a_, (0, 2, 1)).reshape(T * D_H, -1)
+    )(z)
+    xtp = jax.jit(
+        lambda a_: jnp.transpose(a_, (0, 2, 1)).reshape(T * D_O, -1)
+    )(x)
+    objective = jax.jit(
+        functools.partial(em.complete_data_loglik_markov, T=T)
+    )
 
     # --- fast path: sequential fused O(T) Markov EM loop, one compile -
     run = jax.jit(functools.partial(em.train_em_markov, n_steps=N_STEPS))
     # warm-up compile
     p, a, it, st = run(params0, jnp.asarray(starts[0]), z, x, lens)
     float(p.A[0, 0, 0])
-    float(sorted_objective(p, v, patterns, sizes=sizes))
+    float(objective(p, ztp, xtp, lens))
     t0 = time.perf_counter()
     tot_iters, objs = 0, []
     for i in range(R):
         p, a, it, st = run(params0, jnp.asarray(starts[i]), z, x, lens)
         tot_iters += int(it)
-        objs.append(float(sorted_objective(p, v, patterns, sizes=sizes)))
+        objs.append(float(objective(p, ztp, xtp, lens)))
     dt_fast = time.perf_counter() - t0
     finite = [o for o in objs if np.isfinite(o)]
     print(

@@ -428,7 +428,7 @@ def emstep_markov(
         params.m, params.S, params.A, params.G, params.H, params.L
     )
     Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-    assign, counts, switches, g = pallas_markov.markov_em_fused(
+    assign, counts, switches, g, obj = pallas_markov.markov_em_fused(
         z_t,
         x_t,
         lens,
@@ -648,6 +648,46 @@ def model_loglik(
     return jnp.sum(
         jax.scipy.special.logsumexp(jnp.log(params.pi)[:, None] + ll, axis=0)
     )
+
+
+def complete_data_loglik_markov(
+    params: MixtureParams,
+    z_t: jax.Array,  # (T·d, n) transposed latent batch
+    x_t: jax.Array,  # (T·l, n) transposed observations
+    lens: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """:func:`complete_data_loglik` through the fused Markov kernel —
+    the kernel's ``Σ_i max_c scores`` output IS the hard-assignment
+    complete-data objective under a fresh E (reference
+    ``e_complete_data_log_lik``, mixture:579-624); one 4 ms pass at
+    n=1e6 instead of a full dense E evaluation."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    d = params.m.shape[1]
+    l = params.H.shape[2]
+    Wg = mops.markov_em_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+    n = z_t.shape[1]
+    _a, _c, _w, _g, obj = pallas_markov.markov_em_fused(
+        z_t,
+        x_t,
+        lens,
+        jnp.zeros((n,), jnp.int32),
+        Wg,
+        T=T,
+        d=d,
+        l=l,
+        interpret=interpret,
+    )
+    return obj
 
 
 @jax.jit

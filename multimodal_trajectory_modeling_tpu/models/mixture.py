@@ -951,8 +951,17 @@ class MMLinGaussSS_marginalizable:
                 patterns, z.shape[0], z.shape[-1], x.shape[-1]
             )
             if plens is not None:
-                # suffix missingness → fused O(T) Markov EM per candidate
+                # suffix missingness → fused O(T) Markov EM per candidate;
+                # the objective comes from the same kernel (Σ max scores =
+                # e_complete_data_log_lik under a fresh E)
                 lens = jnp.asarray(plens[pid_np])
+                T0_, d_n, l_n = z.shape[0], z.shape[-1], x.shape[-1]
+                z_tp = jnp.transpose(z, (0, 2, 1)).reshape(
+                    T0_ * d_n, -1
+                )
+                x_tp = jnp.transpose(x, (0, 2, 1)).reshape(
+                    T0_ * l_n, -1
+                )
                 for cand in candidates:
                     params_c, assign_c, _it, _st = em.train_em_markov(
                         cand._stacked_params(),
@@ -965,8 +974,8 @@ class MMLinGaussSS_marginalizable:
                         alpha=float(self.alpha),
                     )
                     obj = float(
-                        em.complete_data_loglik(
-                            params_c, v, patterns, pid, T=z.shape[0]
+                        em.complete_data_loglik_markov(
+                            params_c, z_tp, x_tp, lens, T=T0_
                         )
                     )
                     results_params.append(params_c)

@@ -207,6 +207,8 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
         counts_out,  # (1, C) int32
         switch_out,  # (1, 1) int32
         g_out,  # (F, C) float — per-cluster summed features
+        obj_out,  # (1, 1) float — Σ_i max_c scores (the complete-data
+        #           objective of the INCOMING params under a fresh E)
     ):
         Bn = zt_ref.shape[1]
         dtype = zt_ref.dtype
@@ -270,6 +272,7 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
         if assign_mode == "prev":
             na = prev
             sw_p = jnp.zeros((1, 1), jnp.int32)
+            obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
                 wg_ref[:, :], g, preferred_element_type=dtype
@@ -277,6 +280,10 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
+            ).reshape(1, 1)
+            best = jnp.max(scores, axis=0)  # (Bn,)
+            obj_p = jnp.sum(
+                jnp.where(validrow, best, 0.0)
             ).reshape(1, 1)
 
         subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
@@ -293,10 +300,12 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
             counts_out[:, :] = jnp.zeros_like(counts_out)
             switch_out[:, :] = jnp.zeros_like(switch_out)
             g_out[:, :] = jnp.zeros_like(g_out)
+            obj_out[:, :] = jnp.zeros_like(obj_out)
 
         counts_out[:, :] += counts_p
         switch_out[:, :] += sw_p
         g_out[:, :] += mstats
+        obj_out[:, :] += obj_p
 
     return kernel
 
@@ -314,12 +323,15 @@ def markov_em_fused(
     assign_mode: str = "argmax",
     block_n: int = 2048,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused EM iteration pass: ``(assign, counts, switches,
-    g_stats (F, C))`` — E assignment and per-cluster M sufficient
-    statistics from a single read of the batch.  ``assign_mode="prev"``
-    reduces statistics under ``prev_assign`` without an E step (initial
-    M step).  Exact vs the unfused path in f64 interpret mode."""
+    g_stats (F, C), objective ())`` — E assignment, per-cluster M
+    sufficient statistics AND the complete-data objective of the
+    incoming params (``Σ_i max_c scores`` = the reference's
+    ``e_complete_data_log_lik`` under a fresh E) from a single read of
+    the batch.  ``assign_mode="prev"`` reduces statistics under
+    ``prev_assign`` without an E step (initial M step; objective is 0).
+    Exact vs the unfused path in f64 interpret mode."""
     Td, n = z_t.shape
     assert Td == T * d and x_t.shape == (T * l, n)
     C, F = Wg.shape
@@ -336,7 +348,7 @@ def markov_em_fused(
             [prev_assign, jnp.full((pad,), -1, jnp.int32)]
         )
     n_pad = z_t.shape[1]
-    a_out, c_out, w_out, g_out = pl.pallas_call(
+    a_out, c_out, w_out, g_out, o_out = pl.pallas_call(
         _markov_em_kernel(T, d, l, C, assign_mode),
         grid=(n_pad // block_n,),
         in_specs=[
@@ -351,12 +363,14 @@ def markov_em_fused(
             pl.BlockSpec((1, C), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((F, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, C), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((F, C), z_t.dtype),
+            jax.ShapeDtypeStruct((1, 1), z_t.dtype),
         ),
         interpret=interpret,
     )(
@@ -366,4 +380,4 @@ def markov_em_fused(
         prev_assign.astype(jnp.int32).reshape(1, n_pad),
         Wg,
     )
-    return a_out[0, :n], c_out[0], w_out[0, 0], g_out
+    return a_out[0, :n], c_out[0], w_out[0, 0], g_out, o_out[0, 0]

@@ -440,7 +440,7 @@ def train_em_markov_shardmap(
                 params.m, params.S, params.A, params.G, params.H, params.L
             )
             Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-            a, c, w, g = pallas_markov.markov_em_fused(
+            a, c, w, g, _obj = pallas_markov.markov_em_fused(
                 z_tp,
                 x_tp,
                 lens_l,
