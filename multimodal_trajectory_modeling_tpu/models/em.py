@@ -650,6 +650,7 @@ def model_loglik(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
 def complete_data_loglik_markov(
     params: MixtureParams,
     z_t: jax.Array,  # (T·d, n) transposed latent batch
