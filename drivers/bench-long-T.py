@@ -78,23 +78,16 @@ def make(T, n):
     return z, x, v, jnp.asarray(patterns), pid, lens
 
 
-KERNEL_T_MAX = 16  # the Pallas kernel statically unrolls T; Mosaic
-# compile time explodes beyond T≈16 (observed: T=32 compile >9 min)
-
-
 def time_markov(z, x, lens, T, params, iters=10):
     n = z.shape[1]
     lj = jnp.asarray(lens.astype(np.int32))
     a = jnp.zeros((n,), jnp.int32)
-    if T <= KERNEL_T_MAX:
-        step = jax.jit(functools.partial(em.emstep_markov, T=T))
-        ztp = jnp.transpose(z, (0, 2, 1)).reshape(T * D_H, n)
-        xtp = jnp.transpose(x, (0, 2, 1)).reshape(T * D_O, n)
-        args = (ztp, xtp, lj)
-    else:
-        # scan-based XLA twin: same math, no static unroll
-        step = em.emstep_markov_xla
-        args = (z, x, lj)
+    # emstep_markov dispatches internally: static-unroll kernel for
+    # T <= 16, grid-over-T kernels beyond (compile time T-independent)
+    step = jax.jit(functools.partial(em.emstep_markov, T=T))
+    ztp = jnp.transpose(z, (0, 2, 1)).reshape(T * D_H, n)
+    xtp = jnp.transpose(x, (0, 2, 1)).reshape(T * D_O, n)
+    args = (ztp, xtp, lj)
     p, a, _c, _w = step(params, *args, a)
     float(p.A[0, 0, 0])
     t0 = time.perf_counter()

@@ -424,22 +424,47 @@ def emstep_markov(
         interpret = jax.devices()[0].platform not in ("tpu",)
     d = params.m.shape[1]
     l = params.H.shape[2]
-    Wg = mops.markov_em_weights(
-        params.m, params.S, params.A, params.G, params.H, params.L
-    )
-    Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-    assign, counts, switches, g, obj = pallas_markov.markov_em_fused(
-        z_t,
-        x_t,
-        lens,
-        prev_assign,
-        Wg,
-        T=T,
-        d=d,
-        l=l,
-        assign_mode=assign_mode,
-        interpret=interpret,
-    )
+    if T <= 16:
+        # static-unroll kernel: fastest at small T (Mosaic compile time
+        # explodes beyond T ≈ 16)
+        Wg = mops.markov_em_weights(
+            params.m, params.S, params.A, params.G, params.H, params.L
+        )
+        Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+        assign, counts, switches, g, obj = pallas_markov.markov_em_fused(
+            z_t,
+            x_t,
+            lens,
+            prev_assign,
+            Wg,
+            T=T,
+            d=d,
+            l=l,
+            assign_mode=assign_mode,
+            interpret=interpret,
+        )
+    else:
+        # grid-over-T kernels: compile time independent of T
+        W1, W2, W3 = mops.markov_cluster_weights_grouped(
+            params.m, params.S, params.A, params.G, params.H, params.L
+        )
+        W3 = W3.at[:, -1].add(jnp.log(params.pi))
+        assign, counts, switches, g, obj = (
+            pallas_markov.markov_em_fused_longT(
+                z_t,
+                x_t,
+                lens,
+                prev_assign,
+                W1,
+                W2,
+                W3,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=assign_mode,
+                interpret=interpret,
+            )
+        )
     tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
     n = z_t.shape[1]
     pi = counts.astype(z_t.dtype) / n

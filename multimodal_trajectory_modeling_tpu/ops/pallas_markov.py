@@ -381,3 +381,262 @@ def markov_em_fused(
         Wg,
     )
     return a_out[0, :n], c_out[0], w_out[0, 0], g_out, o_out[0, 0]
+
+
+def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
+    """Grid-over-T scores kernel: grid = (n/Bn, T) with T on the FAST
+    axis so each (C, Bn) output block accumulates over consecutive grid
+    steps.  Per step: the per-t features (~(3d²+l²+dl) rows) and two
+    weight-slice GEMMs; the t==0 step adds the init/len/const terms.
+    Compile time is T-independent (no static unroll)."""
+
+    def kernel(
+        z_ref,  # (1, d, Bn) time-slice t of the (T, d, n) batch
+        zn_ref,  # (1, d, Bn) slice min(t+1, T-1) — z_{t+1} (clamped)
+        x_ref,  # (1, l, Bn)
+        lens_ref,  # (1, Bn) int32
+        w1_ref,  # (C, d²+l²+dl)
+        w2_ref,  # (C, 2d²)
+        w3_ref,  # (C, d²+d+2)
+        scores_out,  # (C, Bn), accumulated over the T axis
+    ):
+        t = pl.program_id(1)
+        Bn = z_ref.shape[2]
+        dtype = z_ref.dtype
+        z_c = jnp.where(jnp.isfinite(z_ref[0]), z_ref[0], 0.0)
+        z_n = jnp.where(jnp.isfinite(zn_ref[0]), zn_ref[0], 0.0)
+        x_c = jnp.where(jnp.isfinite(x_ref[0]), x_ref[0], 0.0)
+        lens = lens_ref[0, :]
+
+        def kron(a, b):
+            return jnp.concatenate(
+                [a[i : i + 1, :] * b for i in range(a.shape[0])], axis=0
+            )
+
+        zz = kron(z_c, z_c)
+        feat1 = jnp.concatenate(
+            [zz, kron(x_c, x_c), kron(z_c, x_c)], axis=0
+        )
+        acc = jnp.dot(w1_ref[:, :], feat1, preferred_element_type=dtype)
+        # transition pair (t, t+1): vm_{t+1} mask; the clamped zn at
+        # t == T-1 is neutralized by vm_n == 0 there
+        vm_n = ((lens > t + 1) & (t < T - 1)).astype(dtype)[None, :]
+        feat2 = jnp.concatenate([zz, kron(z_c, z_n)], axis=0)
+        acc = acc + vm_n * jnp.dot(
+            w2_ref[:, :], feat2, preferred_element_type=dtype
+        )
+
+        @pl.when(t == 0)
+        def _():
+            scores_out[:, :] = jnp.zeros_like(scores_out)
+
+        scores_out[:, :] += acc
+
+        @pl.when(t == 0)
+        def _():
+            feat3 = jnp.concatenate(
+                [
+                    zz,
+                    z_c,
+                    lens.astype(dtype)[None, :],
+                    jnp.ones((1, Bn), dtype),
+                ],
+                axis=0,
+            )
+            scores_out[:, :] += jnp.dot(
+                w3_ref[:, :], feat3, preferred_element_type=dtype
+            )
+
+    return kernel
+
+
+def _markov_stats_grid_kernel(T: int, d: int, l: int, C: int):
+    """Grid-over-T statistics kernel (same layout as the scores kernel):
+    given the final assignment, accumulate the per-cluster g-statistics
+    (F, C) — each step contributes its per-t feature rows at the right
+    offsets via one (F_t, Bn) @ (Bn, C) GEMM per mask group."""
+    dd = d * d
+    F = 4 * dd + l * l + d * l + 2 * d + l + d + 2
+    # g-layout row offsets
+    o_g1, o_g2, o_g3 = 0, dd, 2 * dd
+    o_g4 = 3 * dd
+    o_g5 = o_g4 + l * l
+    o_g6 = o_g5 + d * l
+    o_g7 = o_g6 + dd
+    o_g8 = o_g7 + d
+    o_g9 = o_g8 + d
+    o_g10 = o_g9 + l
+    o_len = o_g10 + d
+    o_one = o_len + 1
+
+    def kernel(
+        z_ref,  # (1, d, Bn)
+        zn_ref,  # (1, d, Bn)
+        x_ref,  # (1, l, Bn)
+        lens_ref,
+        assign_ref,  # (1, Bn) int32; padded lanes carry C (excluded)
+        g_out,  # (F, C) accumulated over the whole grid
+    ):
+        t = pl.program_id(1)
+        Bn = z_ref.shape[2]
+        dtype = z_ref.dtype
+        z_c = jnp.where(jnp.isfinite(z_ref[0]), z_ref[0], 0.0)
+        z_n = jnp.where(jnp.isfinite(zn_ref[0]), zn_ref[0], 0.0)
+        x_c = jnp.where(jnp.isfinite(x_ref[0]), x_ref[0], 0.0)
+        lens = lens_ref[0, :]
+        a = assign_ref[0, :]
+        subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
+        onehot_t = (a[None, :] == subl).astype(dtype).T  # (Bn, C)
+
+        def kron(a_, b_):
+            return jnp.concatenate(
+                [a_[i : i + 1, :] * b_ for i in range(a_.shape[0])],
+                axis=0,
+            )
+
+        zz = kron(z_c, z_c)
+        vm_n = ((lens > t + 1) & (t < T - 1)).astype(dtype)[None, :]
+        # vm_t-masked rows are implicit (NaN→0); vm_{t+1} rows explicit
+        rows_a = jnp.concatenate(
+            [zz, kron(x_c, x_c), kron(z_c, x_c), z_c, x_c], axis=0
+        )  # -> g1, g4, g5, g8, g9
+        rows_b = jnp.concatenate(
+            [vm_n * zz, kron(z_c, z_n * vm_n), vm_n * z_c], axis=0
+        )  # -> g2, g3, g7
+        ga = jnp.dot(rows_a, onehot_t, preferred_element_type=dtype)
+        gb = jnp.dot(rows_b, onehot_t, preferred_element_type=dtype)
+
+        @pl.when((t == 0) & (pl.program_id(0) == 0))
+        def _():
+            g_out[:, :] = jnp.zeros_like(g_out)
+
+        g_out[o_g1 : o_g1 + dd, :] += ga[:dd]
+        g_out[o_g4 : o_g4 + l * l, :] += ga[dd : dd + l * l]
+        g_out[o_g5 : o_g5 + d * l, :] += ga[dd + l * l : dd + l * l + d * l]
+        g_out[o_g8 : o_g8 + d, :] += ga[
+            dd + l * l + d * l : dd + l * l + d * l + d
+        ]
+        g_out[o_g9 : o_g9 + l, :] += ga[dd + l * l + d * l + d :]
+        g_out[o_g2 : o_g2 + dd, :] += gb[:dd]
+        g_out[o_g3 : o_g3 + dd, :] += gb[dd : 2 * dd]
+        g_out[o_g7 : o_g7 + d, :] += gb[2 * dd :]
+
+        @pl.when(t == 0)
+        def _():
+            rows_c = jnp.concatenate(
+                [
+                    zz,
+                    z_c,
+                    lens.astype(dtype)[None, :],
+                    jnp.ones((1, Bn), dtype),
+                ],
+                axis=0,
+            )
+            gc = jnp.dot(rows_c, onehot_t, preferred_element_type=dtype)
+            g_out[o_g6 : o_g6 + dd, :] += gc[:dd]
+            g_out[o_g10 : o_g10 + d, :] += gc[dd : dd + d]
+            g_out[o_len : o_len + 1, :] += gc[dd + d : dd + d + 1]
+            g_out[o_one : o_one + 1, :] += gc[dd + d + 1 :]
+
+    return kernel
+
+
+def markov_em_fused_longT(
+    z_t: jax.Array,  # (T·d, n)
+    x_t: jax.Array,  # (T·l, n)
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (n,) int32
+    W1: jax.Array,  # (C, d²+l²+dl)   — per-step vm_t weights
+    W2: jax.Array,  # (C, 2d²)        — vm_{t+1} weights
+    W3: jax.Array,  # (C, d²+d+2)     — init/len/const (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Grid-over-T fused EM iteration for arbitrary T — same outputs as
+    :func:`markov_em_fused` (assign, counts, switches, g (F, C),
+    objective) with compile time independent of T (the small-T kernel
+    statically unrolls and stops compiling past T ≈ 16).  Three device
+    passes: scores grid kernel → XLA argmax/counts/switches → stats
+    grid kernel."""
+    Td, n = z_t.shape
+    assert Td == T * d and x_t.shape == (T * l, n)
+    C = W1.shape[0]
+    F = 4 * d * d + l * l + d * l + 2 * d + l + d + 2
+    pad = (-n) % block_n
+    if pad:
+        z_t = jnp.concatenate(
+            [z_t, jnp.zeros((T * d, pad), z_t.dtype)], axis=1
+        )
+        x_t = jnp.concatenate(
+            [x_t, jnp.zeros((T * l, pad), x_t.dtype)], axis=1
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((pad,), -1, jnp.int32)]
+        )
+    n_pad = z_t.shape[1]
+    nb = n_pad // block_n
+    lens_r = lens.astype(jnp.int32).reshape(1, n_pad)
+    # (T, d, n) views: compiled Pallas needs the sublane block dim to be
+    # 8-divisible or equal to the full array dim — with a 3-D layout the
+    # (1, d, block) block meets the rule for any d
+    z3 = z_t.reshape(T, d, n_pad)
+    x3 = x_t.reshape(T, l, n_pad)
+
+    common_in_specs = [
+        pl.BlockSpec((1, d, block_n), lambda j, t: (t, 0, j)),
+        pl.BlockSpec(
+            (1, d, block_n),
+            lambda j, t: (jnp.minimum(t + 1, T - 1), 0, j),
+        ),
+        pl.BlockSpec((1, l, block_n), lambda j, t: (t, 0, j)),
+        pl.BlockSpec((1, block_n), lambda j, t: (0, j)),
+    ]
+    valid = prev_assign >= 0
+    if assign_mode == "prev":
+        assign = jnp.where(valid, prev_assign, C)
+        switches = jnp.zeros((), jnp.int32)
+        obj = jnp.zeros((), z_t.dtype)
+    else:
+        scores = pl.pallas_call(
+            _markov_scores_grid_kernel(T, d, l, C),
+            grid=(nb, T),
+            in_specs=common_in_specs
+            + [
+                pl.BlockSpec(W1.shape, lambda j, t: (0, 0)),
+                pl.BlockSpec(W2.shape, lambda j, t: (0, 0)),
+                pl.BlockSpec(W3.shape, lambda j, t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((C, block_n), lambda j, t: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((C, n_pad), z_t.dtype),
+            interpret=interpret,
+        )(z3, z3, x3, lens_r, W1, W2, W3)
+        na = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        assign = jnp.where(valid, na, C)
+        switches = jnp.sum((na != prev_assign) & valid)
+        obj = jnp.sum(jnp.where(valid, jnp.max(scores, axis=0), 0.0))
+    lanes = jnp.arange(C, dtype=jnp.int32)
+    counts = jnp.sum(
+        ((assign[:, None] == lanes[None, :]) & valid[:, None]).astype(
+            jnp.int32
+        ),
+        axis=0,
+    )
+
+    g = pl.pallas_call(
+        _markov_stats_grid_kernel(T, d, l, C),
+        grid=(nb, T),
+        in_specs=common_in_specs
+        + [pl.BlockSpec((1, block_n), lambda j, t: (0, j))],
+        out_specs=pl.BlockSpec((F, C), lambda j, t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((F, C), z_t.dtype),
+        interpret=interpret,
+    )(z3, z3, x3, lens_r, assign.reshape(1, n_pad))
+
+    assign_out = jnp.where(valid, assign, C)[:n]
+    return assign_out, counts, jnp.asarray(switches, jnp.int32), g, obj

@@ -291,3 +291,55 @@ def test_markov_f32_long_T_accuracy():
     )
     rel = np.max(np.abs(ll32 - ll64) / np.abs(ll64))
     assert rel < 1e-4, rel
+
+
+def test_markov_em_fused_longT_matches_small_T_kernel():
+    """The grid-over-T fused EM kernels (arbitrary T, T-independent
+    compile) must reproduce the static-unroll kernel exactly in f64
+    interpret mode: assign, counts, switches, g statistics, objective."""
+    from multimodal_trajectory_modeling_tpu.ops import (
+        markov as mops,
+        pallas_markov as pm,
+    )
+
+    rng = np.random.default_rng(21)
+    C, T, n, d, l = 3, 6, 300, 2, 3
+    z, x, lens, params_t = _mixture(22, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    W1, W2, W3 = mops.markov_cluster_weights_grouped(*params_t)
+    W3 = W3.at[:, -1].add(jnp.log(pi))
+    Wg = mops.markov_em_weights(*params_t)
+    Wg = Wg.at[:, -1].add(jnp.log(pi))
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+
+    a0, c0, w0, g0, o0 = pm.markov_em_fused(
+        z_t, x_t, lens, prev, Wg, T=T, d=d, l=l, interpret=True,
+        block_n=128,
+    )
+    a1, c1, w1, g1, o1 = pm.markov_em_fused_longT(
+        z_t, x_t, lens, prev, W1, W2, W3, T=T, d=d, l=l,
+        interpret=True, block_n=128,
+    )
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert int(w0) == int(w1)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(float(o1), float(o0), rtol=1e-12)
+    # prev mode: stats under the incoming assignment
+    a2, c2, w2, g2, o2 = pm.markov_em_fused(
+        z_t, x_t, lens, prev, Wg, T=T, d=d, l=l, interpret=True,
+        assign_mode="prev", block_n=128,
+    )
+    a3, c3, w3, g3, o3 = pm.markov_em_fused_longT(
+        z_t, x_t, lens, prev, W1, W2, W3, T=T, d=d, l=l,
+        interpret=True, assign_mode="prev", block_n=128,
+    )
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a3))
+    np.testing.assert_allclose(
+        np.asarray(g3), np.asarray(g2), rtol=1e-9, atol=1e-9
+    )
