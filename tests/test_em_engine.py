@@ -258,3 +258,38 @@ def test_train_em_markov_matches_train_em():
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
         )
+
+
+def test_train_em_markov_grid_kernel_regime():
+    """T=20 routes the grid-over-T kernels inside emstep_markov — the
+    whole training loop must still reproduce train_em exactly in f64."""
+    z, x, labels, true = _make_mixture_data(seed=5, n=220, T=20)
+    rng = np.random.default_rng(7)
+    lens = rng.choice([10, 16, 20], size=220)
+    tmask = np.arange(20)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    v, patterns, pid = _packed(z, x)
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(rng.integers(0, C, size=220), jnp.int32)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), v, patterns, pid,
+        n_steps=40,
+    )
+    p_m, a_m, it_m, st_m = em.train_em_markov(
+        params0,
+        assign0,
+        jnp.asarray(z),
+        jnp.asarray(x),
+        jnp.asarray(lens, jnp.int32),
+        n_steps=40,
+    )
+    assert int(st_ref) == int(st_m)
+    assert int(it_ref) == int(it_m)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_m))
+    for fa, fb in zip(p_ref, p_m):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
