@@ -30,7 +30,7 @@ mtm_config.enable_persistent_compilation_cache()
 N_FULL = 1_000_000
 T, D_H, D_O, C = 10, 5, 3, 16
 N_BASE = 500  # subsample for the NumPy baseline timing
-BENCH_ITERS = 50
+BENCH_ITERS = 200
 
 
 _LENGTHS = (T // 2, T - 2, T)
