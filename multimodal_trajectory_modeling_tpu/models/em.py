@@ -61,9 +61,19 @@ __all__ = [
     "assignments_from_logliks",
     "mstep",
     "complete_data_loglik",
+    "complete_data_loglik_markov",
     "model_loglik",
+    "model_loglik_markov",
+    "observed_logliks_kalman",
     "train_em",
+    "train_em_sorted",
+    "train_em_markov",
     "train_em_multistart",
+    "emstep_markov",
+    "emstep_markov_xla",
+    "estep_assign_sorted",
+    "estep_assign_markov",
+    "mstep_sorted",
 ]
 
 STATUS_RUNNING = 0
