@@ -64,3 +64,24 @@ def test_kalman_long_T():
         xb, lens_b, *map(jnp.asarray, (m, S, A, G, H, L))
     )
     assert np.all(np.isfinite(np.asarray(ll)))
+
+
+def test_em_observed_logliks_kalman_wrapper():
+    """The em-level wrapper must match the dense observed_logliks on
+    MixtureParams input (f64, suffix missingness)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(30)
+    z, x, lens, params_t = _mixture(31, C=3, T=6, n=150, d=2, l=3)
+    m, S, A, G, H, L = params_t
+    pi = jnp.asarray(rng.dirichlet(np.ones(3)))
+    params = em.MixtureParams(pi=pi, m=m, S=S, A=A, G=G, H=H, L=L)
+    got = np.asarray(em.observed_logliks_kalman(params, x, lens))
+    vx = em.pack_observed(x)
+    patterns, pid = ops.pattern_groups(np.asarray(vx))
+    want = np.asarray(
+        em.observed_logliks(
+            params, vx, jnp.asarray(patterns), jnp.asarray(pid), T=6
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
