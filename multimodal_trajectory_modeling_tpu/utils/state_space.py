@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
-import scipy.optimize as sp_opt
 import scipy.stats as sp_stats
 
 from multimodal_trajectory_modeling_tpu import ops
@@ -36,12 +35,8 @@ CLUSTER_COLORS = (
 )
 _MARKERS = ("o", "v", "^", "s", "+", "x")
 _LINESTYLES = (
-    "solid",
-    "dotted",
-    "dashed",
-    "dashdot",
-    "densely dashdotted",
-    "loosely dashdotted",
+    "solid", "dotted", "dashed", "dashdot",
+    "densely dashdotted", "loosely dashdotted",
 )
 
 
@@ -72,7 +67,7 @@ def regress_alpha(X: np.ndarray, Y: np.ndarray, alpha: float):
 def nancat(arr1: np.ndarray, arr2: np.ndarray) -> np.ndarray:
     """Concatenate two ``T × n × dim`` arrays along the instance axis,
     NaN-padding the shorter one in time (reference :97-139)."""
-    assert arr1.shape[2:] == arr2.shape[2:]
+    assert arr2.shape[2:] == arr1.shape[2:]
     T = max(arr1.shape[0], arr2.shape[0])
 
     def pad(a):
@@ -128,8 +123,7 @@ def unstandardize_mean_and_cov_diffs(mean_diff, cov_diff, params):
 
 
 def normalize(
-    arr, eps: float = np.finfo(float).eps, *, params=None,
-    return_params: bool = False,
+    arr, eps=np.finfo(float).eps, *, params=None, return_params=False
 ):
     """Z-score per feature over (time, instance) axes (reference :271-310)."""
     if params is None:
@@ -170,7 +164,7 @@ def mask_all_but_time_i(arr: np.ndarray, i: int) -> np.ndarray:
 def mask_all_but_time_i_vect(arr: np.ndarray, i: np.ndarray) -> np.ndarray:
     """Per-instance version: keep time ``i[j]`` for instance j
     (reference :408-414)."""
-    assert arr.shape[1] == len(i)
+    assert len(i) == arr.shape[1]
     out = np.full_like(arr, np.nan)
     cols = np.arange(arr.shape[1])
     out[np.asarray(i), cols] = arr[np.asarray(i), cols]
@@ -233,12 +227,12 @@ def weighted_mean_and_covariance(values: np.ndarray, weights: np.ndarray):
 
 
 def today_str() -> str:
-    return datetime.datetime.now(datetime.timezone.utc).date().isoformat()
+    return datetime.datetime.now(tz=datetime.timezone.utc).strftime("%Y-%m-%d")
 
 
 def slugify(s: str) -> str:
-    s = re.sub("[^0-9a-zA-Z_]", "_", s.lower())
-    return re.sub("_+", "_", s).strip(" _")
+    underscored = re.sub("[^0-9a-zA-Z_]", "_", s.lower())
+    return re.sub("_+", "_", underscored).strip(" _")
 
 
 def tidy_labels(n_list: list[str], truncate_after: int = 42) -> list[str]:
@@ -251,40 +245,29 @@ def tidy_labels(n_list: list[str], truncate_after: int = 42) -> list[str]:
 
 
 def summarize_metric_vs_cluster(
-    metric: np.ndarray,
-    cluster_assignment: np.ndarray,
-    names: list = None,
-    cluster_ordering=None,
+    metric: np.ndarray, cluster_assignment: np.ndarray,
+    names: list = None, cluster_ordering=None,
 ) -> None:
     """Print per-cluster means and pairwise two-sided t-test p-values."""
     n_clusters = len(set(cluster_assignment))
     ordered = cluster_ordering or string.ascii_uppercase[:n_clusters]
-    assert metric.shape[0] == len(cluster_assignment)
+    assert len(cluster_assignment) == metric.shape[0]
     if names is not None:
-        assert metric.shape[1] == len(names)
+        assert len(names) == metric.shape[1]
     groups = {a: metric[cluster_assignment == a] for a in ordered}
 
-    print(
-        pd.DataFrame.from_records(
-            [(a, *np.nanmean(g, axis=0)) for a, g in groups.items()],
-            columns=["cluster", *[f"{nm}_mean" for nm in names]],
-        ).set_index("cluster")
-    )
-    print(
-        pd.DataFrame.from_records(
-            [
-                (
-                    f"{a}_vs_{b}",
-                    *sp_stats.ttest_ind(
-                        groups[a], groups[b], nan_policy="omit",
-                        alternative="two-sided",
-                    ).pvalue,
-                )
-                for a, b in itertools.combinations(groups, 2)
-            ],
-            columns=["comparison", *[f"{nm}_pval" for nm in names]],
-        ).set_index("comparison")
-    )
+    means = {a: np.nanmean(g, axis=0) for a, g in groups.items()}
+    mean_tbl = pd.DataFrame(means, index=[f"{nm}_mean" for nm in names]).T
+    print(mean_tbl.rename_axis("cluster"))
+
+    pvals = {
+        f"{a}_vs_{b}": sp_stats.ttest_ind(
+            groups[a], groups[b], nan_policy="omit", alternative="two-sided"
+        ).pvalue
+        for a, b in itertools.combinations(groups, 2)
+    }
+    pval_tbl = pd.DataFrame(pvals, index=[f"{nm}_pval" for nm in names]).T
+    print(pval_tbl.rename_axis("comparison"))
 
 
 # --------------------------------------------------------------------------
@@ -297,116 +280,97 @@ def _despine(ax):
     ax.spines["top"].set_visible(False)
 
 
+def _new_axes(**subplots_kwargs):
+    """One despined axes, the house style for every figure here."""
+    fig, ax = plt.subplots(**subplots_kwargs)
+    _despine(ax)
+    return fig, ax
+
+
+def _legend_dedup(ax):
+    """label -> handle with repeated labels collapsed (one legend entry per
+    cluster even when a cluster drew many artists)."""
+    handles, labels = ax.get_legend_handles_labels()
+    return dict(zip(labels, handles))
+
+
 def plot_metric_vs_clusters_over_time(
-    metric: np.ndarray,
-    assignments: np.ndarray,
-    metric_name: str,
-    *,
-    savename,
-    title: str,
-    xticks=None,
-    xlabel: str = "Time steps",
-    xlim=None,
-    ylim=None,
-    legend_loc=None,
-    legend_anchor=(1.5, 1),
-    colors=CLUSTER_COLORS,
-    show: bool = False,
+    metric: np.ndarray, assignments: np.ndarray, metric_name: str, *,
+    savename, title: str, xticks=None, xlabel: str = "Time steps",
+    xlim=None, ylim=None, legend_loc=None, legend_anchor=(1.5, 1),
+    colors=CLUSTER_COLORS, show: bool = False,
 ) -> None:
     """Mean ± 1 s.e.m. of a metric per cluster over time (reference
     :494-580)."""
-    n_timesteps, n_data = metric.shape
-    assert n_data == len(assignments)
+    n_steps = metric.shape[0]
+    assert len(assignments) == metric.shape[1]
     n_clusters = len(set(assignments))
-    fig, ax = plt.subplots()
-    _despine(ax)
+    fig, ax = _new_axes()
     for i, c in enumerate(string.ascii_uppercase[:n_clusters]):
         grp = metric[:, assignments == c]
+        jittered = np.arange(n_steps) + 0.025 * (i - n_clusters // 2)
         ax.errorbar(
-            x=(
-                xticks
-                if xticks is not None
-                else np.arange(n_timesteps)
-                + 0.025 * (i - n_clusters // 2)
-            ),
+            x=xticks if xticks is not None else jittered,
             y=np.nanmean(grp, axis=1).T,
             yerr=sp_stats.sem(grp, axis=1, nan_policy="omit").T,
-            color=colors[i],
-            linestyle=_LINESTYLES[i],
-            label=f"cluster {c}",
-            capsize=5,
+            color=colors[i], linestyle=_LINESTYLES[i],
+            label=f"cluster {c}", capsize=5,
         )
-    handles, labels = ax.get_legend_handles_labels()
-    uniq = dict(zip(labels, handles))
+    uniq = _legend_dedup(ax)
     ax.legend(
-        uniq.values(),
-        uniq.keys(),
-        fontsize="large",
+        uniq.values(), uniq.keys(), fontsize="large",
         loc=legend_loc if legend_loc is not None else plt.rcParams["legend.loc"],
         bbox_to_anchor=legend_anchor,
     )
-    plt.xticks(
-        ticks=xticks if xticks is not None else range(n_timesteps),
-        labels=xticks if xticks is not None else range(1, n_timesteps + 1),
-    )
+    tick_pos = xticks if xticks is not None else range(n_steps)
+    tick_lab = xticks if xticks is not None else range(1, n_steps + 1)
+    ax.set_xticks(tick_pos, labels=tick_lab)
     if title:
-        plt.title(title, fontsize="large")
+        ax.set_title(title, fontsize="large")
     if xlim is not None:
-        plt.xlim(xlim)
+        ax.set_xlim(xlim)
     if ylim is not None:
-        plt.ylim(ylim)
+        ax.set_ylim(ylim)
     ax.set_xlabel(xlabel, fontsize="large")
     ax.set_ylabel(metric_name, fontsize="large")
-    plt.savefig(savename, bbox_inches="tight", transparent=True)
+    fig.savefig(savename, bbox_inches="tight", transparent=True)
     if show:
         plt.show()
 
 
+def _normal_pdf(pts, mu, sd):
+    return np.exp(-0.5 * np.square((pts - mu) / sd)) / (
+        sd * np.sqrt(2.0 * np.pi)
+    )
+
+
 def histograms_by_cluster(
-    *,
-    savename="",
-    title: str = "Histograms by cluster",
-    metrics=None,
-    metric_names=None,
-    clusters=None,
-    cluster_ordering=None,
-    show: bool = False,
-    nrows: int = 2,
-    ncols: int = 3,
-    nbins: int = 20,
-    density: bool = True,
-    verbose: bool = False,
-    mean_overlay: bool = True,
-    normal_overlay: bool = False,
-    μσ_overlay=None,
-    tighten=True,
-    colors=CLUSTER_COLORS,
-    alpha: float = 0.5,
+    *, savename="", title: str = "Histograms by cluster", metrics=None,
+    metric_names=None, clusters=None, cluster_ordering=None,
+    show: bool = False, nrows: int = 2, ncols: int = 3, nbins: int = 20,
+    density: bool = True, verbose: bool = False, mean_overlay: bool = True,
+    normal_overlay: bool = False, μσ_overlay=None, tighten=True,
+    colors=CLUSTER_COLORS, alpha: float = 0.5,
 ) -> None:
     """Grid of overlapping per-cluster histograms, optionally with Gaussian
     overlays from model moments (reference :583-746)."""
     c_labels = cluster_ordering or sorted(np.unique(clusters).tolist())
-    fig, axs = plt.subplots(nrows=nrows, ncols=ncols, layout="constrained")
-    axs = np.atleast_2d(axs).reshape(nrows, ncols)
-    for m_num in range(nrows * ncols):
-        ax = axs[m_num // ncols, m_num % ncols]
-        if m_num >= len(metric_names):
-            fig.delaxes(ax)
-            continue
-        for k, c in enumerate(c_labels):
-            sel = clusters == c
-            if sel.sum() == 0:
+    fig, axs = plt.subplots(nrows, ncols, layout="constrained")
+    panels = np.atleast_2d(axs).reshape(nrows, ncols).ravel()
+    for spare in panels[len(metric_names):]:
+        fig.delaxes(spare)
+    for m_num, ax in enumerate(panels[: len(metric_names)]):
+        for k, lbl in enumerate(c_labels):
+            vals = metrics[clusters == lbl, m_num]
+            if vals.size == 0:
                 continue
-            vals = metrics[sel, m_num]
-            label = (
-                f"cluster {c}"
-                if not verbose
-                else "cluster {c} (μ={mu},σ={sd})".format(
-                    c=c,
+            label = f"cluster {lbl}"
+            if verbose:
+                label = "cluster {c} (μ={mu},σ={sd})".format(
+                    c=lbl,
                     mu=np.round(np.nanmean(vals), 2),
                     sd=np.round(np.nanstd(vals), 2),
                 )
-            )
             ax.hist(
                 x=vals, label=label, bins=nbins, color=colors[k],
                 alpha=alpha, density=density,
@@ -414,34 +378,20 @@ def histograms_by_cluster(
             if mean_overlay:
                 ax.axvline(np.nanmean(vals), color=colors[k])
             if normal_overlay:
-                lo, hi = ax.get_xlim()
-                pts = np.linspace(lo, hi, 1000)
-                ax.plot(
-                    pts,
-                    sp_stats.norm.pdf(
-                        pts, loc=np.nanmean(vals), scale=np.nanstd(vals)
-                    ),
-                    color=colors[k],
-                )
+                pts = np.linspace(*ax.get_xlim(), 1000)
+                curve = _normal_pdf(pts, np.nanmean(vals), np.nanstd(vals))
+                ax.plot(pts, curve, color=colors[k])
             if μσ_overlay is not None:
-                lo, hi = ax.get_xlim()
-                pts = np.linspace(lo, hi, 1000)
-                ax.plot(
-                    pts,
-                    sp_stats.norm.pdf(
-                        pts,
-                        loc=μσ_overlay[c]["μ"][m_num],
-                        scale=μσ_overlay[c]["σ"][m_num],
-                    ),
-                    color=colors[k],
-                )
+                pts = np.linspace(*ax.get_xlim(), 1000)
+                mu = μσ_overlay[lbl]["μ"][m_num]
+                sd = μσ_overlay[lbl]["σ"][m_num]
+                ax.plot(pts, _normal_pdf(pts, mu, sd), color=colors[k])
             ax.set_title(metric_names[m_num], fontsize="large")
             _despine(ax)
             if verbose:
                 ax.legend(fontsize="large")
-    if len(c_labels) > 1 and not verbose:
-        handles, labels = axs[0, 0].get_legend_handles_labels()
-        uniq = dict(zip(labels, handles))
+    if not verbose and len(c_labels) > 1:
+        uniq = _legend_dedup(panels[0])
         fig.legend(
             uniq.values(), uniq.keys(), fontsize="large",
             loc="upper right", bbox_to_anchor=(1.3, 1.0),
@@ -457,24 +407,17 @@ def histograms_by_cluster(
 
 
 def histogram(
-    metrics=None,
-    *,
-    savename="",
-    show: bool = False,
-    title=None,
-    density: bool = True,
-    nbins: int = 25,
-    figsize=(6.4, 4.8),
+    metrics=None, *, savename="", show: bool = False, title=None,
+    density: bool = True, nbins: int = 25, figsize=(6.4, 4.8),
 ) -> None:
     """Single histogram (reference :749-795)."""
-    fig, ax = plt.subplots(layout="constrained", figsize=figsize)
+    fig, ax = _new_axes(layout="constrained", figsize=figsize)
     ax.hist(
         x=np.ravel(metrics), bins=nbins, color=CLUSTER_COLORS[0],
         alpha=1.0, density=density,
     )
-    _despine(ax)
     if title is not None:
-        plt.title(title)
+        ax.set_title(title)
     if savename:
         fig.savefig(savename, transparent=True)
     if show:
@@ -482,21 +425,10 @@ def histogram(
 
 
 def pies_by_cluster(
-    *,
-    savename="",
-    title: str = "",
-    categories=None,
-    category_ordering=None,
-    category_legend_names=None,
-    clusters=None,
-    cluster_ordering=None,
-    show: bool = False,
-    nrows=None,
-    ncols=None,
-    slice_colors=None,
-    legend_anchor=(0.0, 0.0),
-    fig_length=None,
-    fig_width=None,
+    *, savename="", title: str = "", categories=None, category_ordering=None,
+    category_legend_names=None, clusters=None, cluster_ordering=None,
+    show: bool = False, nrows=None, ncols=None, slice_colors=None,
+    legend_anchor=(0.0, 0.0), fig_length=None, fig_width=None,
     halo_colors=None,
 ) -> None:
     """Per-cluster pie charts of category composition (reference :798-925)."""
@@ -508,42 +440,32 @@ def pies_by_cluster(
         cmap = plt.colormaps["cividis"].colors
         picks = np.linspace(0, len(cmap) - 1, len(category_labels)).astype(int)
         slice_colors = np.flipud(np.array(cmap)[picks]).tolist()
-    fig, axs = plt.subplots(nrows=nrows, ncols=ncols, layout="constrained")
-    axs = np.asarray(axs).reshape(nrows, ncols)
+    fig, axs = plt.subplots(nrows, ncols, layout="constrained")
+    panels = np.asarray(axs).reshape(nrows, ncols)
     patches = None
-    for m_num in range(nrows * ncols):
-        if m_num >= len(cluster_labels):
-            break
-        ax = axs[m_num // ncols, m_num % ncols]
-        patches, _ = ax.pie(
-            [
-                np.logical_and(
-                    categories == cat, clusters == cluster_labels[m_num]
-                ).sum()
-                for cat in category_labels
-            ],
-            colors=slice_colors,
-        )
+    for m_num, cluster in enumerate(cluster_labels[: nrows * ncols]):
+        ax = panels[m_num // ncols, m_num % ncols]
+        members = clusters == cluster
+        sizes = [(members & (categories == cat)).sum() for cat in category_labels]
+        patches, _ = ax.pie(sizes, colors=slice_colors)
         if halo_colors is not None:
-            ax.add_patch(
-                plt.Circle(
-                    (0, 0), 1.0, color=halo_colors[m_num],
-                    linewidth=1.5, fill=False,
-                )
+            ring = plt.Circle(
+                (0, 0), 1.0, color=halo_colors[m_num],
+                linewidth=1.5, fill=False,
             )
-        ax.set_title(cluster_labels[m_num])
-    axs[0, 0].legend(
-        patches,
-        category_labels
-        if category_legend_names is None
-        else [category_legend_names[c] for c in category_labels],
-        loc="upper right",
-        bbox_to_anchor=legend_anchor,
+            ax.add_patch(ring)
+        ax.set_title(cluster)
+    legend_names = category_labels
+    if category_legend_names is not None:
+        legend_names = [category_legend_names[c] for c in category_labels]
+    panels[0, 0].legend(
+        patches, legend_names,
+        loc="upper right", bbox_to_anchor=legend_anchor,
     )
+    width, height = fig_width, fig_length
     if fig_length is None or fig_width is None:
-        fig.set_size_inches(ncols, nrows + 1, forward=True)
-    else:
-        fig.set_size_inches(fig_width, fig_length, forward=True)
+        width, height = ncols, nrows + 1
+    fig.set_size_inches(width, height, forward=True)
     if title:
         fig.suptitle(title, size=30)
     if savename:
@@ -553,23 +475,16 @@ def pies_by_cluster(
 
 
 def pie(
-    assignments,
-    *,
-    savename=None,
-    title: str = "",
-    cluster_ordering=None,
-    show: bool = False,
-    legend_anchor=(1.2, 1.0),
-    colors=CLUSTER_COLORS,
+    assignments, *, savename=None, title: str = "", cluster_ordering=None,
+    show: bool = False, legend_anchor=(1.2, 1.0), colors=CLUSTER_COLORS,
 ):
     """Single pie of cluster prevalences (reference :928-984)."""
     labels = cluster_ordering or sorted(np.unique(assignments).tolist())
     assert set(labels) == set(assignments)
     fig, ax = plt.subplots(layout="constrained")
+    sizes = [(assignments == lbl).sum() for lbl in labels]
     patches, _ = ax.pie(
-        [(assignments == lbl).sum() for lbl in labels],
-        colors=list(colors),
-        explode=[0.03] * len(labels),
+        sizes, colors=list(colors), explode=[0.03] * len(labels)
     )
     ax.legend(
         patches, labels, loc="upper right",
@@ -583,98 +498,90 @@ def pie(
         plt.show()
 
 
+def _gaussian_density_grid(mean, cov, gx, gy) -> np.ndarray:
+    """Evaluate a 2-D Gaussian pdf on the meshgrid (gx, gy) directly from the
+    closed form (inverse of a 2×2 is analytic), vectorized over the grid."""
+    (a, b), (c, d) = np.asarray(cov, dtype=float)
+    det = a * d - b * c
+    dx, dy = gx - mean[0], gy - mean[1]
+    quad = (d * dx * dx - (b + c) * dx * dy + a * dy * dy) / det
+    return np.exp(-0.5 * quad) / (2.0 * np.pi * np.sqrt(det))
+
+
+def _hpd_threshold(density: np.ndarray, mass: float) -> float:
+    """Density level whose superlevel set holds `mass` of the grid's total
+    probability: sort cell densities descending, walk the cumulative mass
+    until it first reaches the target.  Deterministic replacement for the
+    reference's Nelder-Mead threshold search (util_state_space.py:1266-1276);
+    both answer "which contour of the *windowed* density encloses 68%"."""
+    flat = np.sort(density, axis=None)[::-1]
+    cdf = np.cumsum(flat)
+    k = int(np.searchsorted(cdf, mass * cdf[-1]))
+    return float(flat[min(k, flat.size - 1)])
+
+
+def _weighted_trajectory_stats(values, weights, column, soft, stop):
+    """Per-timestep weighted mean/cov of `values` under one cluster's
+    responsibility column, cut at `stop` steps when requested."""
+    w = (
+        weights[:, column]
+        if soft
+        else (weights.argmax(axis=1) == column).astype(float)
+    )
+    mean_t, cov_t = weighted_mean_and_covariance(values, w)
+    return (mean_t, cov_t) if stop is None else (mean_t[:stop], cov_t[:stop])
+
+
 def plot_weighted_means_2d_trajectories(
-    weights: np.ndarray,
-    values: np.ndarray,
-    colors: list,
-    saveloc,
-    *,
-    xlabel: str = "β-amyloid",
-    ylabel: str = "Gray matter density",
-    xlim=(-50.0, 230.0),
-    ylim=(-0.275, 0.025),
-    arrow_width: float = 0.6,
-    soft_assignment: bool = True,
-    cov_alpha: float = 0.05,
-    conf_thresh: float = 0.68,
-    truncate_after: list = None,
+    weights: np.ndarray, values: np.ndarray, colors: list, saveloc, *,
+    xlabel: str = "β-amyloid", ylabel: str = "Gray matter density",
+    xlim=(-50.0, 230.0), ylim=(-0.275, 0.025), arrow_width: float = 0.6,
+    soft_assignment: bool = True, cov_alpha: float = 0.05,
+    conf_thresh: float = 0.68, truncate_after: list = None,
+    grid_resolution: int = 1000,
 ) -> None:
-    """Weighted-mean 2-D latent trajectories with numeric HPD contour
-    regions (reference :1154-1307)."""
-    fig, ax = plt.subplots()
-    ax.set_xlim(*xlim)
-    ax.set_ylim(*ylim)
-    _despine(ax)
-    n_clusters = weights.shape[1]
+    """Posterior-weighted mean 2-D trajectories, one arrow chain + scatter
+    markers per cluster, each timestep shaded with the numeric
+    ``conf_thresh`` HPD region of its weighted Gaussian summary.
 
-    for i, c in enumerate(string.ascii_uppercase[:n_clusters]):
-        prob_c = (
-            weights[:, i]
-            if soft_assignment
-            else (weights.argmax(axis=1) == i).astype(int)
+    Renders the same figure as the reference's helper
+    (util_state_space.py:1154-1307); the HPD level here comes from the
+    sorted-density CDF of the windowed grid (see :func:`_hpd_threshold`)
+    rather than an optimizer, and the per-cell densities from the closed-form
+    2-D Gaussian.
+    """
+    fig, ax = _new_axes()
+    ax.set(xlim=xlim, ylim=ylim)
+
+    gx, gy = np.meshgrid(
+        np.linspace(*xlim, num=grid_resolution),
+        np.linspace(*ylim, num=grid_resolution),
+    )
+    cuts = truncate_after or [None] * weights.shape[1]
+
+    for i, cut in enumerate(cuts[: weights.shape[1]]):
+        mean_t, cov_t = _weighted_trajectory_stats(
+            values, weights, i, soft_assignment, cut
         )
-        m_c, v_c = weighted_mean_and_covariance(values, prob_c)
-        if truncate_after is not None and truncate_after[i] is not None:
-            m_c, v_c = m_c[: truncate_after[i]], v_c[: truncate_after[i]]
-
+        step = np.diff(mean_t, axis=0)
         ax.quiver(
-            m_c[:-1, 0].ravel(),
-            m_c[:-1, 1].ravel(),
-            np.diff(m_c[:, 0]).ravel(),
-            np.diff(m_c[:, 1]).ravel(),
-            color=colors[i],
-            linestyle="solid",
-            units="xy",
-            angles="xy",
-            scale_units="xy",
-            scale=1,
-            width=arrow_width,
-            headwidth=2,
-            headlength=2,
-            headaxislength=1,
-            alpha=1.0,
+            mean_t[:-1, 0], mean_t[:-1, 1], step[:, 0], step[:, 1],
+            color=colors[i], linestyle="solid", alpha=1.0,
+            units="xy", angles="xy", scale_units="xy", scale=1,
+            width=arrow_width, headwidth=2, headlength=2, headaxislength=1,
         )
         ax.scatter(
-            m_c[:, 0].ravel(),
-            m_c[:, 1].ravel(),
-            c=colors[i],
-            marker=_MARKERS[i],
-            label=f"cluster {c}",
-            s=4,
+            mean_t[:, 0], mean_t[:, 1], c=colors[i], marker=_MARKERS[i],
+            label=f"cluster {string.ascii_uppercase[i]}", s=4,
         )
-        pos = np.dstack(
-            np.meshgrid(
-                np.linspace(*ax.get_xlim(), num=1000),
-                np.linspace(*ax.get_ylim(), num=1000),
-            )
-        )
-        n_steps = (
-            values.shape[0]
-            if not truncate_after or not truncate_after[i]
-            else truncate_after[i]
-        )
-        for t in range(n_steps):
-            zval = sp_stats.multivariate_normal(mean=m_c[t], cov=v_c[t]).pdf(pos)
-            res = sp_opt.minimize(
-                lambda thr: np.square(
-                    zval[zval >= thr].sum() / zval.sum() - conf_thresh
-                ),
-                0.9 * zval.max(),
-                method="Nelder-Mead",
-                tol=1e-6,
-            )
+        for m, v in zip(mean_t, cov_t):
+            density = _gaussian_density_grid(m, v, gx, gy)
             ax.contourf(
-                pos[..., 0],
-                pos[..., 1],
-                zval,
-                colors=CLUSTER_COLORS[i],
-                linewidths=1,
-                levels=[float(res.x[0]), np.inf],
-                alpha=cov_alpha,
+                gx, gy, density, colors=CLUSTER_COLORS[i], alpha=cov_alpha,
+                levels=[_hpd_threshold(density, conf_thresh), np.inf],
             )
 
-    handles, labels = ax.get_legend_handles_labels()
-    uniq = dict(zip(labels, handles))
+    uniq = _legend_dedup(ax)
     ax.legend(
         uniq.values(), uniq.keys(), fontsize="large",
         bbox_to_anchor=(1.3, 1), markerscale=3,
