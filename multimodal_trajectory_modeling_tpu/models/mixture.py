@@ -576,17 +576,24 @@ class MMLinGaussSS_marginalizable:
             self.observations if observations is None else observations
         )
         Tz, Tx = pred_z.shape[0], pred_x.shape[0]
-        for i in range(self.n_data):
-            c = assignments[i]
-            z0 = self.states[0, i, :]
-            chain = np.asarray(
-                ops.latent_means(
-                    Tz, jnp.asarray(z0), jnp.asarray(self.transition_matrices[c])
-                )
+        # one vmapped mean-dynamics rollout over instances (the per-instance
+        # transition matrix is gathered from the assigned cluster) instead of
+        # the reference's per-instance Python loop (reference mixture:976-990)
+        z0s = jnp.asarray(self.states[0])  # (n, l)
+        A_by_instance = jnp.asarray(np.stack(self.transition_matrices))[
+            jnp.asarray(assignments)
+        ]
+        chains = np.asarray(
+            jax.vmap(lambda z0, A: ops.latent_means(Tz, z0, A))(
+                z0s, A_by_instance
             )
-            pred_z[:, i, :] = chain[:Tz]
-            assert np.array_equal(pred_z[0, i, :], z0)
-            pred_x[:, i, :] = chain[:Tx] @ self.measurement_matrices[c]
+        )  # (n, Tz, l)
+        assert np.array_equal(chains[:, 0, :], self.states[0])
+        pred_z[:] = chains.transpose(1, 0, 2)[:Tz]
+        H_by_instance = np.stack(self.measurement_matrices)[assignments]
+        pred_x[:] = np.einsum(
+            "ntl,nld->tnd", chains[:, :Tx, :], H_by_instance
+        )
         return pred_z, pred_x
 
     # ------------------------------------------------------------------

@@ -34,7 +34,14 @@ from sklearn import cluster as skl_cluster
 
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
+# cache root (tests may monkeypatch this to a scratch dir)
 home_dir = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+# import root for restart workers — always the real package parent, never
+# patched: a worker child must be able to import this package no matter
+# where the cache has been redirected to
+_PACKAGE_PARENT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
@@ -72,6 +79,18 @@ def _restart_worker(args):
 def _subprocess_entry(path: str) -> None:
     """Worker entry point: reads pickled args, runs the restart chunk,
     writes pickled results next to the input file."""
+    # pin the worker to the CPU backend before any jax computation runs:
+    # several concurrent children sharing the remote-TPU tunnel wedge it,
+    # and restart chunks are small host-side fits anyway.  Precision must
+    # match the parent (x64 vs f32 changes EM trajectories and hence the
+    # multistart winner), so the parent forwards its x64 flag.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_enable_x64", os.environ.get("MTM_WORKER_X64") == "1"
+    )
+
     with open(path, "rb") as f:
         args = pickle.load(f)
     out = _restart_worker(args)
@@ -102,10 +121,14 @@ def _parallel_restarts(
     # children must import this package regardless of cwd: prepend the
     # package parent to PYTHONPATH, preserving whatever is already there
     # (e.g. backend plugin paths that jax needs at import time)
+    import jax
+
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
-        [home_dir] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+        [_PACKAGE_PARENT]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     )
+    env["MTM_WORKER_X64"] = "1" if jax.config.jax_enable_x64 else "0"
 
     chunks = [list(range(w, n_restarts, n_jobs)) for w in range(n_jobs)]
     procs = []
@@ -123,6 +146,7 @@ def _parallel_restarts(
         )
         with open(path, "wb") as f:
             pickle.dump(payload, f)
+        stderr_file = open(path + ".err", "wb")
         procs.append(
             (
                 path,
@@ -135,14 +159,17 @@ def _parallel_restarts(
                         "ssm_mixture import _subprocess_entry; "
                         f"_subprocess_entry({path!r})",
                     ],
-                    cwd=home_dir,
+                    cwd=_PACKAGE_PARENT,
                     env=env,
+                    stderr=stderr_file,
                 ),
+                stderr_file,
             )
         )
     results = {}
-    for path, payload, proc in procs:
+    for path, payload, proc, stderr_file in procs:
         proc.wait()
+        stderr_file.close()
         out_path = path + ".out"
         if proc.returncode == 0 and os.path.exists(out_path):
             with open(out_path, "rb") as f:
@@ -150,10 +177,13 @@ def _parallel_restarts(
         else:
             # a dead worker must not silently change the multistart winner:
             # replay its chunk sequentially in this process (identical
-            # per-seed protocol, just not parallel)
+            # per-seed protocol, just not parallel) — and surface the
+            # child's stderr so the failure is diagnosable
+            with open(path + ".err", "rb") as f:
+                child_err = f.read().decode(errors="replace")[-2000:]
             warnings.warn(
                 f"restart worker exited with {proc.returncode}; replaying "
-                "its chunk sequentially"
+                f"its chunk sequentially; child stderr tail:\n{child_err}"
             )
             results.update(_restart_worker(payload))
     return results

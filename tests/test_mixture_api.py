@@ -104,6 +104,27 @@ def test_one_step_ahead_predictions(synth, trained):
     assert np.allclose((x_p0 - x[-1]).squeeze().mean(axis=0), 0.0, atol=0.1)
 
 
+def test_predictions_from_initial_data(synth, trained):
+    """The single vmapped rollout must agree with a per-instance NumPy
+    rollout of the assigned cluster's mean dynamics (reference
+    mixture:943-995 semantics)."""
+    mdl = trained
+    z_pred, x_pred = mdl.predictions_from_initial_data()
+    assignments = mdl.initial_full_data_cluster_assignment()
+
+    T, n, _ = synth["z"].shape
+    for i in [0, 1, n // 2, n - 1]:
+        c = assignments[i]
+        mu = mdl.states[0, i, :]
+        for t in range(T):
+            np.testing.assert_allclose(z_pred[t, i], mu, atol=1e-9)
+            np.testing.assert_allclose(
+                x_pred[t, i], mu @ mdl.measurement_matrices[c], atol=1e-9
+            )
+            mu = mu @ mdl.transition_matrices[c]
+    assert np.array_equal(z_pred[0], mdl.states[0])
+
+
 def test_conditional_logliks_match_scipy(synth, trained):
     """Cross-check the device E-step against a direct scipy evaluation of
     the same joint Gaussian."""

@@ -1,10 +1,11 @@
-"""Guard the environment-sensitive posthoc statistics.
+"""Guard the posthoc contingency statistics.
 
-The GMM-baseline side of the contingency comparison depends on the
-installed scikit-learn's GaussianMixture initialization (reference env:
-1.2.x; here: 1.9), so the Sharma–Song statistic drifts with environment
-— PARITY.md documents the deviation.  These tests pin what must NOT
-drift: our side's Pearson χ² against the published value, and the
+Both sides of the contingency comparison are pinned: our model's table
+against the published Pearson χ² = 308.01, and the GMM-baseline table
+against the 16 cells mathematically forced by the reference's
+expected-output block (its gmm crosstabs/pivots reproduce cell-for-cell;
+see PARITY.md "Known environment-version deviations" for why the stale
+χ²=38.736 comment in the reference R script is not the oracle).  Plus the
 algebraic invariants of the in-repo Sharma–Song reimplementation."""
 
 import importlib.util
@@ -45,6 +46,31 @@ def test_our_contingency_table_pearson_chi2_matches_published():
     chi2, _p, dof, _e = sp_stats.chi2_contingency(tbl)
     assert abs(chi2 - 308.01) < 0.05, chi2
     assert dof == (tbl.shape[0] - 1) * (tbl.shape[1] - 1)
+
+
+def test_gmm_contingency_table_matches_reference_environment():
+    """The GMM-baseline contingency table is forced once the gmm labels
+    and final diagnoses match the reference's published crosstabs
+    (collate expected block :1406-1423, :1487-1499) — pin the shipped
+    artifact to those cells and the χ² they imply."""
+    tbl = pd.read_csv(
+        _REPO / "posthoc" / "results" / "contingency_table_gmm_init.csv",
+        index_col="cluster",
+    )
+    expected = pd.DataFrame(
+        {
+            "AD": [2, 26, 37, 29],
+            "CN": [145, 76, 12, 1],
+            "pMCI": [1, 5, 8, 5],
+            "sMCI": [109, 82, 25, 8],
+        },
+        index=pd.Index(list("ABCD"), name="cluster"),
+    )
+    pd.testing.assert_frame_equal(
+        tbl[expected.columns], expected, check_dtype=False
+    )
+    chi2 = sp_stats.chi2_contingency(tbl.to_numpy())[0]
+    assert abs(chi2 - 226.361) < 0.05, chi2
 
 
 def test_sharma_song_invariants():
