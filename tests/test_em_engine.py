@@ -6,6 +6,7 @@ marginalizable_mixture_model.py:1920-2025) plus convergence/guard semantics.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from multimodal_trajectory_modeling_tpu import ops
 from multimodal_trajectory_modeling_tpu.models import em
@@ -260,6 +261,7 @@ def test_train_em_markov_matches_train_em():
         )
 
 
+@pytest.mark.slow
 def test_train_em_markov_grid_kernel_regime():
     """T=20 routes the grid-over-T kernels inside emstep_markov — the
     whole training loop must still reproduce train_em exactly in f64."""

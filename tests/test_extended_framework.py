@@ -226,6 +226,7 @@ def test_classifier(lgdata):
     assert np.allclose(probs.sum(axis=1), 1.0)
 
 
+@pytest.mark.slow
 def test_parallel_restarts_match_sequential(tmp_path, monkeypatch):
     """n_jobs>1 must reproduce the sequential restart protocol exactly
     (same per-seed models, same strictly-greater winner)."""

@@ -164,6 +164,7 @@ def test_conditional_logliks_match_scipy(synth, trained):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_model_selection_functions(synth, trained):
     aic = trained.aic()
     bic = trained.bic(
@@ -183,6 +184,7 @@ def test_model_selection_functions(synth, trained):
     assert k == expect
 
 
+@pytest.mark.slow
 def test_propensities_over_time(synth, trained):
     pc_t = trained.cluster_propensities_over_time(
         states=synth["z"][:, :30], observations=synth["x"][:, :30]
@@ -251,6 +253,7 @@ def test_cache_probe_roundtrip(synth, trained, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_alpha_and_1d_variants(synth):
     z, x = synth["z"], synth["x"]
     mdl = MMLinGaussSS_marginalizable(
@@ -297,6 +300,7 @@ def test_rng_replication_of_constructor():
     assert a.hex_hash == b.hex_hash
 
 
+@pytest.mark.slow
 def test_train_fast_matches_default(synth):
     """train(fast=True) — the pattern-sorted fused-kernel path — must equal
     train() exactly in f64, including the unsort of assignments."""
@@ -327,6 +331,7 @@ def test_train_fast_matches_default(synth):
     )
 
 
+@pytest.mark.slow
 def test_verbose_multistart_transcript_and_same_winner(synth, capsys):
     """verbose=True must forward per-candidate Q prints (reference
     mixture:1444-1455 trains every candidate with verbose) and pick the
@@ -362,6 +367,7 @@ def test_verbose_multistart_transcript_and_same_winner(synth, capsys):
     )
 
 
+@pytest.mark.slow
 def test_fast_multistart_matches_default(synth):
     """fast=True (pattern-sorted fused-kernel candidate loop) must replay
     the reference multistart protocol exactly in f64: same winner, same
@@ -397,6 +403,7 @@ def test_fast_multistart_matches_default(synth):
     )
 
 
+@pytest.mark.slow
 def test_train_fast_interior_missingness_falls_back(synth):
     """Interior (non-suffix) missingness must fail the suffix gate and
     route the pattern-sorted dense path — still exactly equal to the
