@@ -132,17 +132,22 @@ def bench_tpu(z, x, v, patterns, pid):
     xtp = jax.jit(lambda a: jnp.transpose(a, (0, 2, 1)).reshape(T * D_O, -1))(
         x
     )
+    # packed batch for the shift-product kernel — iteration-invariant,
+    # built once (re-packing per step would re-read the whole batch)
+    u = jax.jit(functools.partial(em.pack_markov_batch, T=T, d=D_H, l=D_O))(
+        ztp, xtp
+    )
 
     em_step = jax.jit(functools.partial(em.emstep_markov, T=T))
 
     assign = jnp.zeros((v.shape[0],), jnp.int32)
-    params, assign, _c, _w = em_step(params0, ztp, xtp, lens, assign)
+    params, assign, _c, _w = em_step(params0, ztp, xtp, lens, assign, u=u)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
-        params, assign, _c, _w = em_step(params, ztp, xtp, lens, assign)
+        params, assign, _c, _w = em_step(params, ztp, xtp, lens, assign, u=u)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"
@@ -191,10 +196,34 @@ def bench_numpy_reference(z, x, v):
     return 1.0 / dt  # iterations/sec at this subsample size
 
 
+_V5E_PEAK_F32_TFLOPS = 49.0  # one v5e chip, fp32 (bf16 peak is ~197)
+
+
+def _analytic_flops_per_iter(n):
+    """FLOPs one packed fused EM iteration executes per the kernel's
+    structure (ops/pallas_markov.py:markov_em_fused_packed): shift
+    products + t-reductions on the (T·s, n) packed batch, then the
+    score and statistics GEMMs over the Facc accumulator rows."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    s, ks, facc, _rows = pallas_markov.markov_packed_spec(T, D_H, D_O)
+    n_product_passes = len(ks) + D_H + 2  # A_k, B_k, AID/AVM
+    per_row = (
+        2 * n_product_passes * T * s  # multiply + reduce-add
+        + 2 * 2 * C * facc  # scores GEMM + per-cluster stats GEMM
+    )
+    return per_row * n
+
+
 def main():
     z, x, v, patterns, pid = _make_data(N_FULL)
 
     tpu_iters_per_sec = bench_tpu(z, x, v, patterns, pid)
+    flops = _analytic_flops_per_iter(N_FULL)
+    tflops = flops * tpu_iters_per_sec / 1e12
+    # the kernel streams the packed (T·s, n) f32 batch from HBM once per
+    # iteration — end-to-end achieved bandwidth (includes dispatch floor)
+    hbm_gbps = (T * 8 * N_FULL * 4) * tpu_iters_per_sec / 1e9
 
     zb = np.asarray(z[:, :N_BASE], dtype=float)
     xb = np.asarray(x[:, :N_BASE], dtype=float)
@@ -212,6 +241,9 @@ def main():
                 # 500-row subsample and scaled linearly to n=1e6 (per-row
                 # independent det/solve — cost is linear in n)
                 "vs_baseline": round(tpu_iters_per_sec / baseline_full, 1),
+                "tflops": round(tflops, 2),
+                "mfu_f32": round(tflops / _V5E_PEAK_F32_TFLOPS, 4),
+                "hbm_gbps": round(hbm_gbps, 1),
             }
         )
     )

@@ -65,10 +65,12 @@ __all__ = [
     "model_loglik",
     "model_loglik_markov",
     "observed_logliks_kalman",
+    "masked_logliks_kalman",
     "train_em",
     "train_em_sorted",
     "train_em_markov",
     "train_em_multistart",
+    "pack_markov_batch",
     "emstep_markov",
     "emstep_markov_xla",
     "estep_assign_sorted",
@@ -250,6 +252,25 @@ def observed_logliks_kalman(
     )
 
 
+def masked_logliks_kalman(
+    params: MixtureParams,
+    z: jax.Array,  # (T, n, d) arbitrary per-coordinate NaNs
+    x: jax.Array,  # (T, n, l)
+) -> jax.Array:
+    """``(C, n)`` joint log-likelihoods of the observed entries under
+    ARBITRARY missingness via the O(T) partial-observation filter
+    (ops/kalman.py:kalman_masked_logliks) — the long-T route for
+    :func:`estep_logliks` when interior missingness rules out the Markov
+    suffix factorization and T makes the dense (T(d+l))² joint
+    infeasible.  Exact (equal to the dense marginalization in f64,
+    tested; better-conditioned at long T)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    return kalman.kalman_masked_logliks(
+        z, x, params.m, params.S, params.A, params.G, params.H, params.L
+    )
+
+
 def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
     """Hard MLE assignment ``argmax_c (log π_c + ll_c)`` → ``(n,)`` int32."""
     return jnp.argmax(jnp.log(pi)[:, None] + ll, axis=0).astype(jnp.int32)
@@ -406,6 +427,23 @@ def _unpack_markov_em_stats(g: jax.Array, d: int, l: int):
     return tstats, mstats, istats
 
 
+def pack_markov_batch(
+    z_t: jax.Array,  # (T·d, n) transposed latent batch
+    x_t: jax.Array,  # (T·l, n) transposed observations
+    *,
+    T: int,
+    d: int,
+    l: int,
+) -> jax.Array:
+    """Pack the transposed batch for the packed fused Markov kernel
+    (``[z_t; x_t; 0-pad]`` per step on 8-aligned sublanes, NaN→0).
+    Iteration-invariant: build once per fit and pass to
+    :func:`emstep_markov` via ``u=``."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    return pallas_markov.pack_markov_u(z_t, x_t, T=T, d=d, l=l)
+
+
 def emstep_markov(
     params: MixtureParams,
     z_t: jax.Array,  # (T·d, n) transposed latent batch
@@ -418,15 +456,19 @@ def emstep_markov(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     interpret: bool = None,
+    u: jax.Array = None,  # (T·s, n) packed batch (pack_markov_batch)
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """ONE fused EM iteration for suffix missingness: returns
     ``(new_params, assign, counts, switches)`` from a single kernel pass
     over the batch — the per-row Markov features feed both the E-score
-    GEMM and the per-cluster M sufficient statistics
-    (ops/pallas_markov.py:markov_em_fused).  ``assign_mode="prev"``
-    performs the initial M step (statistics under ``prev_assign``, no E).
-    Equal to estep+mstep of the unfused paths in f64; f32 at
-    reassociation noise."""
+    GEMM and the per-cluster M sufficient statistics (the packed
+    shift-product kernel ops/pallas_markov.py:markov_em_fused_packed).
+    ``assign_mode="prev"`` performs the initial M step (statistics under
+    ``prev_assign``, no E).  Equal to estep+mstep of the unfused paths in
+    f64; f32 at reassociation noise.
+
+    Pass ``u`` (from :func:`pack_markov_batch`, hoisted out of the EM
+    loop) to skip the per-call packing read of the batch."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -434,24 +476,29 @@ def emstep_markov(
         interpret = jax.devices()[0].platform not in ("tpu",)
     d = params.m.shape[1]
     l = params.H.shape[2]
-    if T <= 16:
-        # static-unroll kernel: fastest at small T (Mosaic compile time
-        # explodes beyond T ≈ 16)
+    # the packed kernel holds the (T·s, Bn) batch block plus its shifted
+    # products in VMEM (block_n auto-shrinks with T·s); beyond this T the
+    # grid-over-T kernels take over
+    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    if packed_ok:
         Wg = mops.markov_em_weights(
             params.m, params.S, params.A, params.G, params.H, params.L
         )
         Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-        assign, counts, switches, g, obj = pallas_markov.markov_em_fused(
-            z_t,
-            x_t,
-            lens,
-            prev_assign,
-            Wg,
-            T=T,
-            d=d,
-            l=l,
-            assign_mode=assign_mode,
-            interpret=interpret,
+        if u is None:
+            u = pallas_markov.pack_markov_u(z_t, x_t, T=T, d=d, l=l)
+        assign, counts, switches, g, obj = (
+            pallas_markov.markov_em_fused_packed(
+                u,
+                lens,
+                prev_assign,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=assign_mode,
+                interpret=interpret,
+            )
         )
     else:
         # grid-over-T kernels: compile time independent of T
@@ -967,9 +1014,11 @@ def train_em_markov(
     assign0 = assign0.astype(jnp.int32)
     interpret = jax.devices()[0].platform not in ("tpu",)
 
-    # iteration-invariant transposed copies (hoisted by the while_loop)
+    # iteration-invariant transposed + packed copies (computed once here,
+    # outside the while_loop)
     z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
     x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+    u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
 
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
@@ -986,6 +1035,7 @@ def train_em_markov(
             reg_mode=reg_mode,
             alpha=alpha,
             interpret=interpret,
+            u=u,
         )
 
     params_m, _, _, _ = _emstep(params0, assign0, "prev")

@@ -408,11 +408,19 @@ class MMLinGaussSS_marginalizable:
         )
 
     def _all_cluster_logliks(self, T0, states, observations) -> np.ndarray:
-        """(C, n) log-likelihood matrix; one fused device call."""
+        """(C, n) log-likelihood matrix; one fused device call.
+
+        Long trajectories route through the O(T) partial-observation
+        filter (exact for arbitrary missingness) instead of the dense
+        (T(d+l))² joint, which is quadratic in T and numerically
+        degrading past dimension ≈ 512."""
         _T0, _z, _x, v, patterns, pid = self._packed(states, observations, T0)
-        ll = em.estep_logliks(
-            self._stacked_params(), v, patterns, pid, T=_T0
-        )
+        if _T0 * (self.d_states + self.d_observations) > 512:
+            ll = em.masked_logliks_kalman(self._stacked_params(), _z, _x)
+        else:
+            ll = em.estep_logliks(
+                self._stacked_params(), v, patterns, pid, T=_T0
+            )
         return np.asarray(ll, dtype=float)
 
     def _all_observed_logliks(self, T0, observations) -> np.ndarray:
@@ -1024,6 +1032,18 @@ class MMLinGaussSS_marginalizable:
                     a[order] = np.asarray(assign_s)  # invert the sort
                     results_assign.append(a)
                     objectives.append(obj)
+        if not fast:
+            # memory model for the vmapped dense path: each restart's
+            # E/M materializes an (n, D, C)-scale weighted-stats tensor
+            # (D = T(d+l)); the observed blow-up is ≈ 4·n·D·C bytes per
+            # restart (f32; 8 × 1M restarts OOMed a 16 GB chip at
+            # D=80, C=16 — ~5 GB each).  Clamp the batch to a ~6 GB
+            # budget; the sequential fused route (`fast`) remains the
+            # production path at scale.
+            D_joint = z.shape[0] * (z.shape[-1] + x.shape[-1])
+            per_restart = 4 * z.shape[1] * D_joint * self.n_clusters
+            mem_cap = max(1, int(6e9 // max(per_restart, 1)))
+            starts_per_batch = min(starts_per_batch, mem_cap)
         batch_ranges = (
             [] if fast else range(0, len(candidates), starts_per_batch)
         )

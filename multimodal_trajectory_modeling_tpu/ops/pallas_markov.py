@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["markov_assign_suffix"]
+__all__ = [
+    "markov_assign_suffix",
+    "markov_em_fused",
+    "markov_em_fused_longT",
+    "markov_em_fused_packed",
+    "markov_packed_spec",
+    "pack_markov_u",
+]
 
 
 def _markov_assign_kernel(T: int, d: int, l: int, C: int):
@@ -381,6 +388,273 @@ def markov_em_fused(
         Wg,
     )
     return a_out[0, :n], c_out[0], w_out[0, 0], g_out, o_out[0, 0]
+
+
+def markov_packed_spec(T: int, d: int, l: int):
+    """Accumulator layout for the packed fused EM kernel.
+
+    The packed kernel never materializes the canonical per-row feature
+    matrix ``g`` (F, Bn).  Instead each per-t block of the batch is laid
+    out on ``s = 8·ceil((d+l)/8)`` sublanes (``[z_t; x_t; 0-pad]``), so a
+    sublane shift by ``k`` pairs every row with its ``+k`` neighbour —
+    intra-step products for ``k < d+l`` and (t, t+1) transition products
+    for ``k ≥ s-d+1`` — and the sum over t of each product array is a
+    whole-tile reduction.  Every canonical feature is then one row of the
+    stacked accumulator ``ACC`` (Facc, Bn):
+
+    - ``A_k``  (per shift k in ``ks``):  Σ_t u[st+r]·u[st+r+k]
+    - ``B_k``  (k < d):  same with the vm_{t+1} mask (g2)
+    - ``F0_k`` (k < d):  t=0-only products (g6)
+    - ``AID`` Σ_t u_t (g8/g9), ``AVM`` Σ_t vm_{t+1}·u_t (g7),
+      ``U0`` = u_0 (g10), ``EXTRA`` = [len, 1, 0…]
+
+    Returns ``(s, ks, Facc, rows)`` with ``rows[f]`` the ACC row holding
+    canonical feature ``f`` (the g-layout of
+    :func:`..markov.markov_em_weights`).  Fold weights with
+    ``Wacc = zeros(C, Facc).at[:, rows].add(Wg)`` (duplicate canonical
+    rows — e.g. the symmetric (i,j)/(j,i) pairs — sum into one ACC slot)
+    and recover statistics with ``g = macc[rows]``.
+    """
+    import numpy as np
+
+    s = 8 * ((d + l + 7) // 8)
+    ks = sorted(set(range(d + l)) | set(range(s - d + 1, s + d)))
+    kpos = {k: i for i, k in enumerate(ks)}
+
+    def A(k, r):
+        return kpos[k] * s + r
+
+    base_B = len(ks) * s
+    base_F0 = base_B + d * s
+    base_AID = base_F0 + d * s
+    base_AVM = base_AID + s
+    base_U0 = base_AVM + s
+    base_EX = base_U0 + s
+    Facc = base_EX + s
+
+    rows = []
+    pairs_d = [(i, j) for i in range(d) for j in range(d)]
+    rows += [A(abs(i - j), min(i, j)) for i, j in pairs_d]  # g1
+    rows += [base_B + abs(i - j) * s + min(i, j) for i, j in pairs_d]  # g2
+    rows += [A(s + j - i, i) for i, j in pairs_d]  # g3
+    rows += [
+        A(abs(a - b), d + min(a, b))
+        for a in range(l)
+        for b in range(l)
+    ]  # g4
+    rows += [A(d + a - i, i) for i in range(d) for a in range(l)]  # g5
+    rows += [base_F0 + abs(i - j) * s + min(i, j) for i, j in pairs_d]  # g6
+    rows += [base_AVM + i for i in range(d)]  # g7
+    rows += [base_AID + i for i in range(d)]  # g8
+    rows += [base_AID + d + a for a in range(l)]  # g9
+    rows += [base_U0 + i for i in range(d)]  # g10
+    rows += [base_EX + 0, base_EX + 1]  # len, const
+    return s, tuple(ks), Facc, np.asarray(rows, np.int64)
+
+
+def pack_markov_u(
+    z_t: jax.Array,  # (T·d, n) transposed latent batch (NaN-padded)
+    x_t: jax.Array,  # (T·l, n)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    pad_to: int = 2048,
+) -> jax.Array:
+    """Interleave the batch per time step as ``[z_t; x_t; 0-pad]`` on
+    ``s`` sublanes, NaN→0 sanitized, with the lane (instance) axis padded
+    to a multiple of ``pad_to`` — the iteration-invariant input of the
+    packed kernel.  Build ONCE per fit and hoist out of the EM loop:
+    padding here (instead of per kernel call) avoids re-copying the whole
+    batch every EM iteration."""
+    s = 8 * ((d + l + 7) // 8)
+    n = z_t.shape[1]
+    z3 = z_t.reshape(T, d, n)
+    x3 = x_t.reshape(T, l, n)
+    z3 = jnp.where(jnp.isfinite(z3), z3, 0.0)
+    x3 = jnp.where(jnp.isfinite(x3), x3, 0.0)
+    parts = [z3, x3]
+    if s > d + l:
+        parts.append(jnp.zeros((T, s - d - l, n), z_t.dtype))
+    u = jnp.concatenate(parts, axis=1).reshape(T * s, n)
+    pad = (-n) % pad_to
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((T * s, pad), u.dtype)], axis=1)
+    return u
+
+
+def _markov_em_packed_kernel(
+    T: int, d: int, l: int, C: int, s: int, ks: tuple, assign_mode: str
+):
+    """Packed fused EM kernel: shift-products + whole-tile t-reductions
+    feed one score GEMM and one statistics GEMM; no sub-8-sublane piece is
+    ever built (the old kernel's ~T·(d+l)² kron/concat VPU bottleneck).
+    Compile time is T-independent (no per-t unroll)."""
+
+    def kernel(
+        u_ref,  # (T·s, Bn) packed sanitized batch
+        lens_ref,  # (1, Bn) int32
+        prev_ref,  # (1, Bn) int32; padded lanes carry -1
+        wacc_ref,  # (C, Facc) folded E-score weights
+        assign_out,  # (1, Bn) int32
+        counts_out,  # (1, C) int32
+        switch_out,  # (1, 1) int32
+        macc_out,  # (Facc, C) per-cluster summed ACC rows
+        obj_out,  # (1, 1) float
+    ):
+        Bn = u_ref.shape[1]
+        dtype = u_ref.dtype
+        u = u_ref[:, :]
+        lens = lens_ref[0, :]
+
+        # vm_{t+1} per row: row s·t+r belongs to step t
+        rowt = jax.lax.broadcasted_iota(jnp.int32, (T * s, Bn), 0) // s
+        vmn = (lens[None, :] > rowt + 1).astype(dtype)
+        um = u * vmn
+
+        def shifted(k):
+            if k == 0:
+                return u
+            return jnp.concatenate(
+                [u[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
+            )
+
+        def treduce(p):  # Σ over t of the per-t (s, Bn) blocks
+            return jnp.sum(p.reshape(T, s, Bn), axis=0)
+
+        groups = [treduce(u * shifted(k)) for k in ks]  # A_k
+        groups += [treduce(um * shifted(k)) for k in range(d)]  # B_k
+        u0 = u[:s, :]
+        groups += [u0 * u[k : k + s, :] for k in range(d)]  # F0_k
+        groups.append(treduce(u))  # AID
+        groups.append(treduce(um))  # AVM
+        groups.append(u0)  # U0
+        r_ex = jax.lax.broadcasted_iota(jnp.int32, (s, Bn), 0)
+        extra = jnp.where(
+            r_ex == 0,
+            lens.astype(dtype)[None, :],
+            jnp.where(r_ex == 1, jnp.ones((), dtype), jnp.zeros((), dtype)),
+        )
+        groups.append(extra)  # EXTRA: [len, 1, 0…]
+        acc = jnp.concatenate(groups, axis=0)  # (Facc, Bn)
+
+        prev = prev_ref[0, :]
+        validrow = prev >= 0
+        if assign_mode == "prev":
+            na = prev
+            sw_p = jnp.zeros((1, 1), jnp.int32)
+            obj_p = jnp.zeros((1, 1), dtype)
+        else:
+            scores = jnp.dot(
+                wacc_ref[:, :], acc, preferred_element_type=dtype
+            )  # (C, Bn)
+            na = jnp.argmax(scores, axis=0).astype(jnp.int32)
+            sw_p = jnp.sum(
+                ((na != prev) & validrow).astype(jnp.int32)
+            ).reshape(1, 1)
+            best = jnp.max(scores, axis=0)
+            obj_p = jnp.sum(jnp.where(validrow, best, 0.0)).reshape(1, 1)
+
+        subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
+        onehot = (na[None, :] == subl) & validrow[None, :]
+        counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
+        mstats = jnp.dot(
+            acc, onehot.astype(dtype).T, preferred_element_type=dtype
+        )  # (Facc, C)
+
+        assign_out[0, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+            macc_out[:, :] = jnp.zeros_like(macc_out)
+            obj_out[:, :] = jnp.zeros_like(obj_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+        macc_out[:, :] += mstats
+        obj_out[:, :] += obj_p
+
+    return kernel
+
+
+def markov_em_fused_packed(
+    u: jax.Array,  # (T·s, n) from pack_markov_u — hoist out of the EM loop
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (n,) int32
+    Wg: jax.Array,  # (C, F) canonical weights (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    block_n: int = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Packed fused EM iteration — same contract as
+    :func:`markov_em_fused` (assign, counts, switches, g (F, C),
+    objective) with the feature build done as tile-aligned shift products
+    (see :func:`markov_packed_spec`).  Exact vs the unfused path in f64
+    interpret mode (the symmetric-weight fold changes only the summation
+    association).  ``block_n`` defaults by VMEM budget: the kernel keeps
+    the (T·s, Bn) batch block plus a few shifted-product temporaries
+    resident."""
+    s, ks, Facc, rows = markov_packed_spec(T, d, l)
+    if block_n is None:
+        ts = T * s
+        block_n = 2048 if ts <= 128 else (1024 if ts <= 256 else 512)
+    Ts, n_pad = u.shape
+    assert Ts == T * s, (Ts, T, s)
+    n = lens.shape[0]  # true batch size; u may carry pre-padded lanes
+    C = Wg.shape[0]
+    rows_j = jnp.asarray(rows)
+    wacc = jnp.zeros((C, Facc), Wg.dtype).at[:, rows_j].add(Wg)
+    pad_u = (-n_pad) % block_n
+    if pad_u:
+        # slow path: caller did not pre-pad (pack_markov_u pads to 2048,
+        # a multiple of every auto-selected block) — copies the batch!
+        u = jnp.concatenate([u, jnp.zeros((Ts, pad_u), u.dtype)], axis=1)
+        n_pad += pad_u
+    if n_pad > n:
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((n_pad - n,), lens.dtype)]
+        )
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((n_pad - n,), -1, jnp.int32)]
+        )
+    a_out, c_out, w_out, macc, o_out = pl.pallas_call(
+        _markov_em_packed_kernel(T, d, l, C, s, ks, assign_mode),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((Ts, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((C, Facc), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Facc, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Facc, C), u.dtype),
+            jax.ShapeDtypeStruct((1, 1), u.dtype),
+        ),
+        interpret=interpret,
+    )(
+        u,
+        lens.astype(jnp.int32).reshape(1, n_pad),
+        prev_assign.astype(jnp.int32).reshape(1, n_pad),
+        wacc,
+    )
+    g = macc[rows_j, :]
+    return a_out[0, :n], c_out[0], w_out[0, 0], g, o_out[0, 0]
 
 
 def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):

@@ -433,6 +433,9 @@ def train_em_markov_shardmap(
         n_l = z_l.shape[1]
         z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
+        # packed batch for the shift-product kernel — iteration-invariant
+        # per shard, hoisted out of the while_loop below
+        u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
         def fused(params, prev, mode):
@@ -440,9 +443,8 @@ def train_em_markov_shardmap(
                 params.m, params.S, params.A, params.G, params.H, params.L
             )
             Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-            a, c, w, g, _obj = pallas_markov.markov_em_fused(
-                z_tp,
-                x_tp,
+            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed(
+                u_l,
                 lens_l,
                 prev,
                 Wg,

@@ -438,3 +438,31 @@ def test_train_fast_interior_missingness_falls_back(synth):
     assert np.isclose(
         a.e_complete_data_log_lik(), b.e_complete_data_log_lik()
     )
+
+
+@pytest.mark.slow
+def test_long_T_interior_missingness_routes_masked_filter():
+    """Past the dense ceiling (T·(d+l) > 512) `_all_cluster_logliks` must
+    route the exact O(T) partial-observation filter and still equal the
+    dense drop-rows/cols marginal (f64)."""
+    rng = np.random.default_rng(5)
+    T, n, d, l = 130, 24, 1, 3
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    z[rng.random(size=z.shape) < 0.3] = np.nan
+    x[rng.random(size=x.shape) < 0.3] = np.nan
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=0, init="random"
+    )
+    got = mdl._all_cluster_logliks(T, None, None)
+    from multimodal_trajectory_modeling_tpu.models import em as em_mod
+
+    params = mdl._stacked_params()
+    v = em_mod.pack_joint(jnp.asarray(z), jnp.asarray(x))
+    patterns, pid = ops.pattern_groups(np.asarray(v))
+    want = np.asarray(
+        em_mod.estep_logliks(
+            params, v, jnp.asarray(patterns), jnp.asarray(pid), T=T
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)

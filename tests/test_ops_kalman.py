@@ -85,3 +85,91 @@ def test_em_observed_logliks_kalman_wrapper():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def _dense_masked_oracle(z, x, c_params):
+    """Dense drop-rows/cols marginal via direct Cholesky on the joint."""
+    import scipy.linalg as sla
+
+    m, S, A, G, H, L = c_params
+    T, n, _ = z.shape
+    mean = np.asarray(ops.joint_mean(T, *map(jnp.asarray, (m, A, H))))
+    cov = np.asarray(
+        ops.joint_cov(T, *map(jnp.asarray, (S, A, G, H, L)))
+    )
+    v = np.concatenate(
+        [
+            z.transpose(1, 0, 2).reshape(n, -1),
+            x.transpose(1, 0, 2).reshape(n, -1),
+        ],
+        axis=1,
+    )
+    out = np.zeros(n)
+    for i in range(n):
+        idx = np.flatnonzero(np.isfinite(v[i]))
+        if idx.size == 0:
+            continue
+        sub = cov[np.ix_(idx, idx)]
+        r = v[i, idx] - mean[idx]
+        Lc = np.linalg.cholesky(sub)
+        w = sla.solve_triangular(Lc, r, lower=True)
+        out[i] = -0.5 * (
+            2.0 * np.log(np.diag(Lc)).sum()
+            + w @ w
+            + idx.size * np.log(2.0 * np.pi)
+        )
+    return out
+
+
+def test_masked_kalman_equals_dense_interior_missingness():
+    """Arbitrary per-coordinate interior missingness: the O(T) partial-
+    observation filter must reproduce the reference's dense drop-rows/cols
+    marginal (marginalizable_state_space_model.py:741-773) exactly (f64),
+    at T in {8, 64, 256}, including fully-missing rows -> 0.0."""
+    rng = np.random.default_rng(7)
+    d, l, C, n = 3, 2, 2, 16
+    m = rng.normal(size=(C, d))
+    A = rng.normal(scale=0.5, size=(C, d, d))
+    A = 0.7 * A / np.abs(np.linalg.eigvals(A)).max(axis=-1)[:, None, None]
+    H = rng.normal(size=(C, d, l))
+    S = np.stack([np.eye(d) * 0.8] * C)
+    G = np.stack([np.eye(d) * 0.5] * C)
+    L = np.stack([np.eye(l) * 0.3 + 0.1] * C)
+    for T in (8, 64, 256):
+        z = rng.normal(size=(T, n, d))
+        x = rng.normal(size=(T, n, l))
+        z[rng.random(size=z.shape) < 0.4] = np.nan
+        x[rng.random(size=x.shape) < 0.4] = np.nan
+        z[:, 0] = np.nan
+        x[:, 0] = np.nan  # fully-missing instance
+        got = np.asarray(
+            kalman.kalman_masked_logliks(
+                *map(jnp.asarray, (z, x, m, S, A, G, H, L))
+            )
+        )
+        assert got[0, 0] == 0.0 and got[1, 0] == 0.0
+        for c in range(C):
+            want = _dense_masked_oracle(
+                z, x, (m[c], S[c], A[c], G[c], H[c], L[c])
+            )
+            np.testing.assert_allclose(got[c], want, rtol=1e-8, atol=1e-8)
+
+
+def test_masked_kalman_subsumes_suffix_case():
+    """On pure suffix missingness the masked filter equals the joint
+    Markov factorization path (both exact)."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+
+    z, x, lens, params_t = _mixture(11, C=3, T=7, n=120, d=2, l=3)
+    got = np.asarray(
+        kalman.kalman_masked_logliks(
+            jnp.asarray(z), jnp.asarray(x), *params_t
+        )
+    )
+    W = mops.markov_cluster_weights(*params_t)
+    want = np.asarray(
+        mops.markov_suffix_logliks(
+            jnp.asarray(z), jnp.asarray(x), jnp.asarray(lens), W
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
