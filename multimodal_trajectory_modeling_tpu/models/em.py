@@ -244,9 +244,24 @@ def observed_logliks_kalman(
     """``(C, n)`` observation-marginal log-likelihoods via the O(T)
     Kalman filter (ops/kalman.py) — the long-T route for
     :func:`observed_logliks` under suffix missingness (f64-identical to
-    the dense observed-moments path, tested)."""
+    the dense observed-moments path, tested).
+
+    Past T = 128 the suffix filter's per-row pass needs either a static
+    unroll (huge graphs) or a large-carry scan (the remote compiler
+    takes >9 min) — there the scalarized masked filter takes over with
+    an all-NaN state block (observed-only is its z-fully-missing special
+    case; its (n,)-leaf scan compiles in seconds)."""
     from multimodal_trajectory_modeling_tpu.ops import kalman
 
+    T = x.shape[0]
+    if T > 128:
+        z_none = jnp.full(
+            (T, x.shape[1], params.m.shape[1]), jnp.nan, x.dtype
+        )
+        return kalman.kalman_masked_logliks(
+            z_none, x,
+            params.m, params.S, params.A, params.G, params.H, params.L,
+        )
     return kalman.kalman_observed_logliks(
         x, lens, params.m, params.S, params.A, params.G, params.H, params.L
     )

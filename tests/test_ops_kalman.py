@@ -173,3 +173,35 @@ def test_masked_kalman_subsumes_suffix_case():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_observed_kalman_long_T_masked_route():
+    """Past T=128 the em wrapper routes the scalarized masked filter
+    (all-NaN state block) — must equal the suffix filter (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em as em_mod
+
+    rng = np.random.default_rng(2)
+    C, T, n, d, l = 2, 150, 30, 2, 2
+    m = jnp.asarray(rng.normal(size=(C, d)))
+    A = rng.normal(scale=0.5, size=(C, d, d))
+    A = jnp.asarray(
+        0.6 * A / np.abs(np.linalg.eigvals(A)).max(axis=-1)[:, None, None]
+    )
+    H = jnp.asarray(rng.normal(size=(C, d, l)))
+    S = jnp.asarray(np.stack([np.eye(d) * 0.7] * C))
+    G = jnp.asarray(np.stack([np.eye(d) * 0.4] * C))
+    L = jnp.asarray(np.stack([np.eye(l) * 0.5 + 0.1] * C))
+    lens = rng.integers(1, T + 1, size=n).astype(np.int32)
+    x = rng.normal(size=(T, n, l))
+    x[np.arange(T)[:, None] >= lens[None, :]] = np.nan
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    params = em_mod.MixtureParams(pi=pi, m=m, S=S, A=A, G=G, H=H, L=L)
+    got = np.asarray(
+        em_mod.observed_logliks_kalman(params, jnp.asarray(x), jnp.asarray(lens))
+    )
+    want = np.asarray(
+        kalman.kalman_observed_logliks(
+            jnp.asarray(x), jnp.asarray(lens), m, S, A, G, H, L, unroll=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
