@@ -27,7 +27,9 @@ from multimodal_trajectory_modeling_tpu import config as mtm_config
 
 mtm_config.enable_persistent_compilation_cache()
 
-N_FULL = 1_000_000
+import os as _os
+
+N_FULL = int(_os.environ.get("MTM_BENCH_N", 1_000_000))
 T, D_H, D_O, C = 10, 5, 3, 16
 N_BASE = 500  # subsample for the NumPy baseline timing
 BENCH_ITERS = 200
@@ -154,6 +156,39 @@ def bench_tpu(z, x, v, patterns, pid):
     return BENCH_ITERS / dt
 
 
+def bench_tpu_multichip(z, x, patterns, pid):
+    """Data-parallel headline over every attached chip: the full while
+    -loop Markov EM over ``shard_map`` on a 1-D data mesh (one (F, C)
+    psum + one scalar psum per iteration).  Enabled with
+    ``MTM_BENCH_MULTICHIP=1`` when >1 device is present — the driver's
+    single-chip environment keeps the host-chained path as the headline."""
+    import os as _os
+
+    from multimodal_trajectory_modeling_tpu.models import em
+    from multimodal_trajectory_modeling_tpu.parallel import sharded_em
+
+    devs = jax.devices()
+    mesh = jax.sharding.Mesh(np.array(devs), ("data",))
+    rng = np.random.default_rng(1)
+    params0 = _params(rng)
+    plens = np.asarray(patterns[:, : T * D_H]).reshape(-1, T, D_H)
+    plens = plens.all(-1).sum(-1)
+    lens = jnp.asarray(plens[np.asarray(pid)].astype(np.int32))
+    # random init so no cluster starts nearly-empty (the all-zeros init
+    # the chained path uses would trip the init-abort guard here)
+    assign0 = jnp.asarray(
+        rng.integers(0, C, size=z.shape[1]).astype(np.int32)
+    )
+    n_steps = int(_os.environ.get("MTM_BENCH_MC_STEPS", "50"))
+    t0 = time.perf_counter()
+    params, _a, iters, _status = sharded_em.train_em_markov_shardmap(
+        params0, assign0, z, x, lens, mesh=mesh, n_steps=n_steps
+    )
+    float(params.A[0, 0, 0])
+    dt = time.perf_counter() - t0
+    return int(iters) / dt, len(devs)
+
+
 def bench_numpy_reference(z, x, v):
     """Reference-semantics EM iteration on a subsample: per-(cluster,
     instance) masked det/solve E-step + per-cluster lstsq M-step."""
@@ -207,7 +242,10 @@ def _analytic_flops_per_iter(n):
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
     s, ks, facc, _rows = pallas_markov.markov_packed_spec(T, D_H, D_O)
-    n_product_passes = len(ks) + D_H + 2  # A_k, B_k, AID/AVM
+    # A_k shift-product passes + the masked last-step pass + the AID
+    # reduce; B_k/AVM are recovered algebraically from these (small
+    # (s, n) corrections, not full passes)
+    n_product_passes = len(ks) + 2
     per_row = (
         2 * n_product_passes * T * s  # multiply + reduce-add
         + 2 * 2 * C * facc  # scores GEMM + per-cluster stats GEMM
@@ -216,7 +254,29 @@ def _analytic_flops_per_iter(n):
 
 
 def main():
+    import os as _os
+
     z, x, v, patterns, pid = _make_data(N_FULL)
+
+    if (
+        _os.environ.get("MTM_BENCH_MULTICHIP") == "1"
+        and len(jax.devices()) > 1
+    ):
+        rate, n_chips = bench_tpu_multichip(z, x, patterns, pid)
+        print(
+            json.dumps(
+                {
+                    "metric": "em_iterations_per_sec_1M_traj_multichip",
+                    "value": round(rate, 4),
+                    "unit": (
+                        f"EM iterations/sec (n={N_FULL:.0e}, data-parallel "
+                        f"over {n_chips} chips, shard_map)"
+                    ),
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     tpu_iters_per_sec = bench_tpu(z, x, v, patterns, pid)
     flops = _analytic_flops_per_iter(N_FULL)

@@ -503,14 +503,11 @@ def _markov_em_packed_kernel(
         obj_out,  # (1, 1) float
     ):
         Bn = u_ref.shape[1]
-        dtype = u_ref.dtype
-        u = u_ref[:, :]
+        # compute dtype follows the weights; the batch may be stored in
+        # bf16 (half the HBM stream) and is upcast right after the load
+        dtype = wacc_ref.dtype
+        u = u_ref[:, :].astype(dtype)
         lens = lens_ref[0, :]
-
-        # vm_{t+1} per row: row s·t+r belongs to step t
-        rowt = jax.lax.broadcasted_iota(jnp.int32, (T * s, Bn), 0) // s
-        vmn = (lens[None, :] > rowt + 1).astype(dtype)
-        um = u * vmn
 
         def shifted(k):
             if k == 0:
@@ -522,12 +519,32 @@ def _markov_em_packed_kernel(
         def treduce(p):  # Σ over t of the per-t (s, Bn) blocks
             return jnp.sum(p.reshape(T, s, Bn), axis=0)
 
-        groups = [treduce(u * shifted(k)) for k in ks]  # A_k
-        groups += [treduce(um * shifted(k)) for k in range(d)]  # B_k
+        def sblock_shift(a, k):  # (s, Bn) block shifted up by k, 0-fill
+            if k == 0:
+                return a
+            return jnp.concatenate(
+                [a[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
+            )
+
+        # row s·t+r belongs to step t; the vm_{t+1}-masked statistics are
+        # recovered algebraically from the unmasked sums minus the LAST
+        # valid step's contribution (the only step where vm_{t+1} = 0 but
+        # the data is nonzero) — 5 full masked product passes collapse
+        # into one masked reduce + small (s, Bn) ops
+        rowt = jax.lax.broadcasted_iota(jnp.int32, (T * s, Bn), 0) // s
+        last_mask = (rowt + 1 == lens[None, :]).astype(dtype)
+        ulast = treduce(u * last_mask)  # (s, Bn) last-step block
+
+        a_groups = {k: treduce(u * shifted(k)) for k in ks}
+        groups = [a_groups[k] for k in ks]  # A_k
+        groups += [
+            a_groups[k] - ulast * sblock_shift(ulast, k) for k in range(d)
+        ]  # B_k = A_k − last-step products (intra rows)
         u0 = u[:s, :]
         groups += [u0 * u[k : k + s, :] for k in range(d)]  # F0_k
-        groups.append(treduce(u))  # AID
-        groups.append(treduce(um))  # AVM
+        aid = treduce(u)
+        groups.append(aid)  # AID
+        groups.append(aid - ulast)  # AVM = Σ vm_{t+1} u_t
         groups.append(u0)  # U0
         r_ex = jax.lax.broadcasted_iota(jnp.int32, (s, Bn), 0)
         extra = jnp.where(
@@ -643,8 +660,8 @@ def markov_em_fused_packed(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, C), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Facc, C), u.dtype),
-            jax.ShapeDtypeStruct((1, 1), u.dtype),
+            jax.ShapeDtypeStruct((Facc, C), Wg.dtype),
+            jax.ShapeDtypeStruct((1, 1), Wg.dtype),
         ),
         interpret=interpret,
     )(
