@@ -168,6 +168,45 @@ def main():
         flush=True,
     )
 
+    # --- fused-multi path: R_FUSE restarts per kernel pass ------------
+    # (one batch read + one parameter-independent feature build per
+    # iteration amortized over the chunk; scores GEMM runs at C·R_FUSE
+    # rows — a full MXU tile at the default 8×16)
+    R_FUSE = int(os.environ.get("MTM_MULTISTART_FUSE", "8"))
+    u_pack = jax.jit(
+        functools.partial(em.pack_markov_batch, T=T, d=D_H, l=D_O)
+    )(ztp, xtp)
+    run_multi = jax.jit(
+        functools.partial(em.train_em_markov_multi, n_steps=N_STEPS)
+    )
+    obj_multi = jax.jit(
+        functools.partial(em.complete_data_loglik_markov_multi, T=T)
+    )
+    pb8 = jax.tree.map(lambda *xs: jnp.stack(xs), *([params0] * R_FUSE))
+    pm, am, im, sm = run_multi(
+        pb8, jnp.asarray(starts[:R_FUSE]), z, x, lens, u=u_pack
+    )
+    float(pm.A[0, 0, 0, 0])
+    float(obj_multi(pm, lens, u_pack)[0])  # warm-up compiles
+    t0 = time.perf_counter()
+    tot_iters_m, objs_m = 0, []
+    for i0 in range(0, R, R_FUSE):
+        pm, am, im, sm = run_multi(
+            pb8, jnp.asarray(starts[i0 : i0 + R_FUSE]), z, x, lens,
+            u=u_pack,
+        )
+        tot_iters_m += int(jnp.sum(im))
+        objs_m.extend(np.asarray(obj_multi(pm, lens, u_pack)).tolist())
+    dt_multi = time.perf_counter() - t0
+    finite_m = [o for o in objs_m if np.isfinite(o)]
+    print(
+        f"fused-multi (R={R_FUSE}/pass): {R} starts x n={n}: "
+        f"{dt_multi:.1f} s wall, {tot_iters_m} EM iters -> "
+        f"{tot_iters_m/dt_multi:.1f} agg iters/s, "
+        f"{len(finite_m)}/{R} finite objectives",
+        flush=True,
+    )
+
     # --- vmapped path: one batch of VMAP_BATCH, extrapolated ----------
     pb = jax.tree.map(
         lambda *xs: jnp.stack(xs), *([params0] * VMAP_BATCH)
@@ -199,8 +238,14 @@ def main():
                 "n": n,
                 "starts": R,
                 "fast_iters_per_sec": round(tot_iters / dt_fast, 2),
+                "fused_multi_iters_per_sec": round(
+                    tot_iters_m / dt_multi, 2
+                ),
                 "vmapped_iters_per_sec": round(rate_v, 2),
                 "speedup": round((tot_iters / dt_fast) / rate_v, 2),
+                "fused_multi_vs_fast": round(
+                    (tot_iters_m / dt_multi) / (tot_iters / dt_fast), 2
+                ),
             }
         )
     )

@@ -69,9 +69,12 @@ __all__ = [
     "train_em",
     "train_em_sorted",
     "train_em_markov",
+    "train_em_markov_multi",
     "train_em_multistart",
     "pack_markov_batch",
     "emstep_markov",
+    "emstep_markov_multi",
+    "complete_data_loglik_markov_multi",
     "emstep_markov_xla",
     "estep_assign_sorted",
     "estep_assign_markov",
@@ -760,8 +763,12 @@ def complete_data_loglik_markov(
     """:func:`complete_data_loglik` through the fused Markov kernel —
     the kernel's ``Σ_i max_c scores`` output IS the hard-assignment
     complete-data objective under a fresh E (reference
-    ``e_complete_data_log_lik``, mixture:579-624); one 4 ms pass at
-    n=1e6 instead of a full dense E evaluation."""
+    ``e_complete_data_log_lik``, mixture:579-624); one kernel pass at
+    n=1e6 instead of a full dense E evaluation.  Routes the PACKED
+    shift-product kernel when its VMEM gate admits T (bitwise-equal to
+    the R-restart packed kernel, so sequential and fused-chunk
+    multistart sweeps rank candidates identically); the legacy kron
+    kernel covers larger T."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -774,6 +781,19 @@ def complete_data_loglik_markov(
     )
     Wg = Wg.at[:, -1].add(jnp.log(params.pi))
     n = z_t.shape[1]
+    if T * 8 * ((d + l + 7) // 8) <= 512:  # packed-kernel VMEM gate
+        u = pallas_markov.pack_markov_u(z_t, x_t, T=T, d=d, l=l)
+        _a, _c, _w, _g, obj = pallas_markov.markov_em_fused_packed(
+            u,
+            lens,
+            jnp.zeros((n,), jnp.int32),
+            Wg,
+            T=T,
+            d=d,
+            l=l,
+            interpret=interpret,
+        )
+        return obj
     _a, _c, _w, _g, obj = pallas_markov.markov_em_fused(
         z_t,
         x_t,
@@ -1081,6 +1101,212 @@ def train_em_markov(
         cond, body, (params_start, assign0, jnp.int32(0), status0)
     )
     return params_f, assign_f, iters, status
+
+
+def _tree_select_rows(pred_r, on_true, on_false):
+    """Per-restart :func:`_tree_select`: ``pred_r`` is (R,) boolean and
+    every leaf carries a leading R axis."""
+
+    def sel(a, b):
+        p = pred_r.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(p, a, b)
+
+    return jax.tree.map(sel, on_true, on_false)
+
+
+def emstep_markov_multi(
+    params: MixtureParams,  # leading R axis on every leaf
+    lens: jax.Array,  # (n,) int32 — shared across restarts
+    prev_assign: jax.Array,  # (R, n) int32
+    u: jax.Array,  # (T·s, n) packed batch (pack_markov_batch) — shared
+    *,
+    T: int,
+    assign_mode: str = "argmax",
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    interpret: bool = None,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """ONE fused EM iteration for R independent restarts over the SAME
+    batch (R-restart packed kernel
+    ops/pallas_markov.py:markov_em_fused_packed_multi): the batch read
+    and the parameter-independent feature build are paid once, and the
+    score/stat GEMMs run at C·R rows.  Returns ``(new_params, assign
+    (R, n), counts (R, C), switches (R,), objectives (R,))``; each
+    restart equals a separate :func:`emstep_markov` call exactly (the
+    per-row dot products are unchanged).  The batch must be pre-packed
+    (``u``) — multistart hoists it once for the whole sweep."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    d = params.m.shape[2]
+    l = params.H.shape[3]
+    n = lens.shape[0]
+    Wg = jax.vmap(mops.markov_em_weights)(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )  # (R, C, F)
+    Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
+    assign, counts, switches, g, obj = (
+        pallas_markov.markov_em_fused_packed_multi(
+            u,
+            lens,
+            prev_assign,
+            Wg,
+            T=T,
+            d=d,
+            l=l,
+            assign_mode=assign_mode,
+            interpret=interpret,
+        )
+    )
+
+    def solve_one(g_r, counts_r):
+        tstats, mstats, istats = _unpack_markov_em_stats(g_r, d, l)
+        pi = counts_r.astype(g_r.dtype) / n
+        m0, S0 = rops.mean_cov_from_stats(istats)
+        A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+        H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+        return MixtureParams(pi, m0, S0, A, G, H, L)
+
+    new_params = jax.vmap(solve_one)(g, counts)
+    return new_params, assign, counts, switches, obj
+
+
+def train_em_markov_multi(
+    params0: MixtureParams,  # leading R axis on every leaf
+    assign0: jax.Array,  # (R, n) int32
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded — shared
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+    *,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    u: jax.Array = None,  # (T·s, n) packed batch (pack_markov_batch)
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """:func:`train_em_markov` for R restarts at once — the multi-start
+    production path.  Per-restart status/convergence semantics are
+    identical to R separate runs (each restart's trajectory is
+    bit-identical — the fused kernel computes the same dots); the loop
+    runs until EVERY restart is terminal (a converged restart's state is
+    frozen while stragglers finish).  Returns ``(params, assign (R, n),
+    iters (R,), status (R,))``.  Pass ``u`` to reuse one packed batch
+    across chunked sweeps.
+
+    Reference protocol: mixture:1368-1471 — training cost there is
+    ``n_starts × train()``; here the batch stream and feature build
+    amortize across simultaneous restarts."""
+    T, n, d = z.shape
+    l = x.shape[-1]
+    R, C = params0.pi.shape
+    assign0 = assign0.astype(jnp.int32)
+
+    if u is None:
+        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+        u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+
+    counts0 = jax.vmap(counts_from_assign, in_axes=(0, None))(assign0, C)
+    init_abort = jnp.min(counts0, axis=1) <= min_members  # (R,)
+
+    def _emstep(params, prev, mode):
+        return emstep_markov_multi(
+            params,
+            lens,
+            prev,
+            u,
+            T=T,
+            assign_mode=mode,
+            reg_mode=reg_mode,
+            alpha=alpha,
+        )
+
+    params_m, _, _, _, _ = _emstep(params0, assign0, "prev")
+    params_start = _tree_select_rows(init_abort, params0, params_m)
+    status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+    def cond(state):
+        _, _, i, status, _ = state
+        return jnp.any(status == STATUS_RUNNING) & (i < n_steps)
+
+    def body(state):
+        params, assign, i, status, iters = state
+        new_params, new_assign, counts, switches, _obj = _emstep(
+            params, assign, "argmax"
+        )
+        running = status == STATUS_RUNNING  # (R,)
+        converged = running & (switches == 0)
+        empty = (
+            running
+            & ~converged
+            & (jnp.min(counts, axis=1) <= min_members)
+        )
+        run_m = running & ~converged & ~empty
+        params_out = _tree_select_rows(run_m, new_params, params)
+        assign_out = jnp.where(running[:, None], new_assign, assign)
+        status_out = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(empty, STATUS_EMPTY_CLUSTER, status),
+        )
+        return (
+            params_out,
+            assign_out,
+            i + 1,
+            status_out,
+            iters + running.astype(jnp.int32),
+        )
+
+    params_f, assign_f, _i, status, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            params_start,
+            assign0,
+            jnp.int32(0),
+            status0,
+            jnp.zeros((R,), jnp.int32),
+        ),
+    )
+    return params_f, assign_f, iters, status
+
+
+def complete_data_loglik_markov_multi(
+    params: MixtureParams,  # leading R axis on every leaf
+    lens: jax.Array,  # (n,) int32
+    u: jax.Array,  # (T·s, n) packed batch — shared
+    *,
+    T: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """Per-restart ``Σ_i max_c scores`` objectives (R,) in one kernel
+    pass — the R-restart :func:`complete_data_loglik_markov`."""
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    d = params.m.shape[2]
+    l = params.H.shape[3]
+    R = params.pi.shape[0]
+    n = lens.shape[0]
+    Wg = jax.vmap(mops.markov_em_weights)(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
+    _a, _c, _w, _g, obj = pallas_markov.markov_em_fused_packed_multi(
+        u,
+        lens,
+        jnp.zeros((R, n), jnp.int32),
+        Wg,
+        T=T,
+        d=d,
+        l=l,
+        interpret=interpret,
+    )
+    return obj
 
 
 @functools.partial(

@@ -966,9 +966,13 @@ class MMLinGaussSS_marginalizable:
                 patterns, z.shape[0], z.shape[-1], x.shape[-1]
             )
             if plens is not None:
-                # suffix missingness → fused O(T) Markov EM per candidate;
-                # the objective comes from the same kernel (Σ max scores =
-                # e_complete_data_log_lik under a fresh E)
+                # suffix missingness → fused O(T) Markov EM, R candidates
+                # per kernel pass (one batch read + one feature build
+                # amortized over the chunk; em.train_em_markov_multi).
+                # The per-candidate objective comes from the same kernel
+                # (Σ max scores = e_complete_data_log_lik under a fresh E);
+                # candidate order — and hence the first-strictly-greater
+                # winner rule — is unchanged.
                 lens = jnp.asarray(plens[pid_np])
                 T0_, d_n, l_n = z.shape[0], z.shape[-1], x.shape[-1]
                 z_tp = jnp.transpose(z, (0, 2, 1)).reshape(
@@ -977,25 +981,74 @@ class MMLinGaussSS_marginalizable:
                 x_tp = jnp.transpose(x, (0, 2, 1)).reshape(
                     T0_ * l_n, -1
                 )
-                for cand in candidates:
-                    params_c, assign_c, _it, _st = em.train_em_markov(
-                        cand._stacked_params(),
-                        jnp.asarray(cand.cluster_assignment),
-                        z,
-                        x,
-                        lens,
-                        n_steps=n_steps,
-                        reg_mode=reg_mode,
-                        alpha=float(self.alpha),
-                    )
-                    obj = float(
-                        em.complete_data_loglik_markov(
-                            params_c, z_tp, x_tp, lens, T=T0_
+                s_pack = 8 * ((d_n + l_n + 7) // 8)
+                r_fuse = (
+                    int(os.environ.get("MTM_MULTISTART_FUSE", "8"))
+                    if T0_ * s_pack <= 512  # packed-kernel VMEM gate
+                    else 1
+                )
+                u_pack = (
+                    em.pack_markov_batch(z_tp, x_tp, T=T0_, d=d_n, l=l_n)
+                    if r_fuse > 1
+                    else None
+                )
+                for i0 in range(0, len(candidates), max(r_fuse, 1)):
+                    chunk = candidates[i0 : i0 + max(r_fuse, 1)]
+                    if len(chunk) > 1:
+                        params_st = jax.tree.map(
+                            lambda *ps: jnp.stack(ps),
+                            *[c._stacked_params() for c in chunk],
                         )
-                    )
-                    results_params.append(params_c)
-                    results_assign.append(np.asarray(assign_c))
-                    objectives.append(obj)
+                        assigns = jnp.asarray(
+                            np.stack(
+                                [
+                                    np.asarray(c.cluster_assignment)
+                                    for c in chunk
+                                ]
+                            ).astype(np.int32)
+                        )
+                        params_c, assign_c, _it, _st = (
+                            em.train_em_markov_multi(
+                                params_st,
+                                assigns,
+                                z,
+                                x,
+                                lens,
+                                n_steps=n_steps,
+                                reg_mode=reg_mode,
+                                alpha=float(self.alpha),
+                                u=u_pack,
+                            )
+                        )
+                        objs = em.complete_data_loglik_markov_multi(
+                            params_c, lens, u_pack, T=T0_
+                        )
+                        for r in range(len(chunk)):
+                            results_params.append(
+                                jax.tree.map(lambda q: q[r], params_c)
+                            )
+                            results_assign.append(np.asarray(assign_c[r]))
+                            objectives.append(float(objs[r]))
+                    else:
+                        cand = chunk[0]
+                        params_c, assign_c, _it, _st = em.train_em_markov(
+                            cand._stacked_params(),
+                            jnp.asarray(cand.cluster_assignment),
+                            z,
+                            x,
+                            lens,
+                            n_steps=n_steps,
+                            reg_mode=reg_mode,
+                            alpha=float(self.alpha),
+                        )
+                        obj = float(
+                            em.complete_data_loglik_markov(
+                                params_c, z_tp, x_tp, lens, T=T0_
+                            )
+                        )
+                        results_params.append(params_c)
+                        results_assign.append(np.asarray(assign_c))
+                        objectives.append(obj)
             else:
                 order = np.argsort(pid_np, kind="stable")
                 sizes = tuple(

@@ -35,6 +35,7 @@ __all__ = [
     "markov_em_fused",
     "markov_em_fused_longT",
     "markov_em_fused_packed",
+    "markov_em_fused_packed_multi",
     "markov_packed_spec",
     "pack_markov_u",
 ]
@@ -483,6 +484,62 @@ def pack_markov_u(
     return u
 
 
+def _packed_acc_build(u, lens, *, T: int, d: int, s: int, ks: tuple):
+    """Shared shift-product ACC build of the packed kernels: the
+    (Facc, Bn) per-lane feature accumulator of :func:`markov_packed_spec`
+    from the packed batch block ``u`` (T·s, Bn) and per-lane lengths.
+    Parameter-independent — in the multi-restart kernel one build feeds
+    every restart's score/stat GEMMs."""
+    dtype = u.dtype
+    Bn = u.shape[1]
+
+    def shifted(k):
+        if k == 0:
+            return u
+        return jnp.concatenate(
+            [u[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
+        )
+
+    def treduce(p):  # Σ over t of the per-t (s, Bn) blocks
+        return jnp.sum(p.reshape(T, s, Bn), axis=0)
+
+    def sblock_shift(a, k):  # (s, Bn) block shifted up by k, 0-fill
+        if k == 0:
+            return a
+        return jnp.concatenate(
+            [a[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
+        )
+
+    # row s·t+r belongs to step t; the vm_{t+1}-masked statistics are
+    # recovered algebraically from the unmasked sums minus the LAST
+    # valid step's contribution (the only step where vm_{t+1} = 0 but
+    # the data is nonzero) — 5 full masked product passes collapse
+    # into one masked reduce + small (s, Bn) ops
+    rowt = jax.lax.broadcasted_iota(jnp.int32, (T * s, Bn), 0) // s
+    last_mask = (rowt + 1 == lens[None, :]).astype(dtype)
+    ulast = treduce(u * last_mask)  # (s, Bn) last-step block
+
+    a_groups = {k: treduce(u * shifted(k)) for k in ks}
+    groups = [a_groups[k] for k in ks]  # A_k
+    groups += [
+        a_groups[k] - ulast * sblock_shift(ulast, k) for k in range(d)
+    ]  # B_k = A_k − last-step products (intra rows)
+    u0 = u[:s, :]
+    groups += [u0 * u[k : k + s, :] for k in range(d)]  # F0_k
+    aid = treduce(u)
+    groups.append(aid)  # AID
+    groups.append(aid - ulast)  # AVM = Σ vm_{t+1} u_t
+    groups.append(u0)  # U0
+    r_ex = jax.lax.broadcasted_iota(jnp.int32, (s, Bn), 0)
+    extra = jnp.where(
+        r_ex == 0,
+        lens.astype(dtype)[None, :],
+        jnp.where(r_ex == 1, jnp.ones((), dtype), jnp.zeros((), dtype)),
+    )
+    groups.append(extra)  # EXTRA: [len, 1, 0…]
+    return jnp.concatenate(groups, axis=0)  # (Facc, Bn)
+
+
 def _markov_em_packed_kernel(
     T: int, d: int, l: int, C: int, s: int, ks: tuple, assign_mode: str
 ):
@@ -508,52 +565,7 @@ def _markov_em_packed_kernel(
         dtype = wacc_ref.dtype
         u = u_ref[:, :].astype(dtype)
         lens = lens_ref[0, :]
-
-        def shifted(k):
-            if k == 0:
-                return u
-            return jnp.concatenate(
-                [u[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
-            )
-
-        def treduce(p):  # Σ over t of the per-t (s, Bn) blocks
-            return jnp.sum(p.reshape(T, s, Bn), axis=0)
-
-        def sblock_shift(a, k):  # (s, Bn) block shifted up by k, 0-fill
-            if k == 0:
-                return a
-            return jnp.concatenate(
-                [a[k:, :], jnp.zeros((k, Bn), dtype)], axis=0
-            )
-
-        # row s·t+r belongs to step t; the vm_{t+1}-masked statistics are
-        # recovered algebraically from the unmasked sums minus the LAST
-        # valid step's contribution (the only step where vm_{t+1} = 0 but
-        # the data is nonzero) — 5 full masked product passes collapse
-        # into one masked reduce + small (s, Bn) ops
-        rowt = jax.lax.broadcasted_iota(jnp.int32, (T * s, Bn), 0) // s
-        last_mask = (rowt + 1 == lens[None, :]).astype(dtype)
-        ulast = treduce(u * last_mask)  # (s, Bn) last-step block
-
-        a_groups = {k: treduce(u * shifted(k)) for k in ks}
-        groups = [a_groups[k] for k in ks]  # A_k
-        groups += [
-            a_groups[k] - ulast * sblock_shift(ulast, k) for k in range(d)
-        ]  # B_k = A_k − last-step products (intra rows)
-        u0 = u[:s, :]
-        groups += [u0 * u[k : k + s, :] for k in range(d)]  # F0_k
-        aid = treduce(u)
-        groups.append(aid)  # AID
-        groups.append(aid - ulast)  # AVM = Σ vm_{t+1} u_t
-        groups.append(u0)  # U0
-        r_ex = jax.lax.broadcasted_iota(jnp.int32, (s, Bn), 0)
-        extra = jnp.where(
-            r_ex == 0,
-            lens.astype(dtype)[None, :],
-            jnp.where(r_ex == 1, jnp.ones((), dtype), jnp.zeros((), dtype)),
-        )
-        groups.append(extra)  # EXTRA: [len, 1, 0…]
-        acc = jnp.concatenate(groups, axis=0)  # (Facc, Bn)
+        acc = _packed_acc_build(u, lens, T=T, d=d, s=s, ks=ks)
 
         prev = prev_ref[0, :]
         validrow = prev >= 0
@@ -672,6 +684,175 @@ def markov_em_fused_packed(
     )
     g = macc[rows_j, :]
     return a_out[0, :n], c_out[0], w_out[0, 0], g, o_out[0, 0]
+
+
+def _markov_em_packed_multi_kernel(
+    T: int, d: int, l: int, C: int, R: int, s: int, ks: tuple,
+    assign_mode: str,
+):
+    """R-restart fused EM kernel: ONE batch read + ONE shift-product ACC
+    build (parameter-independent) feed the score/stat GEMMs of R
+    independent restarts.  Score rows are laid out c-major (row c·R + r)
+    so the per-restart argmax over clusters is a static C-loop over
+    8-aligned (R, Bn) slices, and both GEMMs run with M (resp. N) =
+    C·R — at R=8, C=16 that fills the 128-row MXU tile the single-restart
+    kernel uses at 1/8 utilization."""
+
+    def kernel(
+        u_ref,  # (T·s, Bn) packed sanitized batch (shared)
+        lens_ref,  # (1, Bn) int32 (shared)
+        prev_ref,  # (R, Bn) int32; padded lanes carry -1
+        wacc_ref,  # (C·R, Facc) folded weights, row c·R + r
+        assign_out,  # (R, Bn) int32
+        counts_out,  # (1, C·R) int32, col c·R + r
+        switch_out,  # (1, R) int32
+        macc_out,  # (Facc, C·R) per-(cluster, restart) summed ACC rows
+        obj_out,  # (1, R) float
+    ):
+        Bn = u_ref.shape[1]
+        dtype = wacc_ref.dtype
+        u = u_ref[:, :].astype(dtype)
+        lens = lens_ref[0, :]
+        acc = _packed_acc_build(u, lens, T=T, d=d, s=s, ks=ks)
+
+        prev = prev_ref[:, :]  # (R, Bn)
+        validrow = prev >= 0
+        if assign_mode == "prev":
+            na = prev
+            sw_p = jnp.zeros((1, R), jnp.int32)
+            obj_p = jnp.zeros((1, R), dtype)
+        else:
+            scores = jnp.dot(
+                wacc_ref[:, :], acc, preferred_element_type=dtype
+            )  # (C·R, Bn)
+            # per-restart argmax over the C c-major slices (each an
+            # R-sublane block — 8-aligned at the default R=8)
+            best = scores[:R, :]
+            na = jnp.zeros((R, Bn), jnp.int32)
+            for c in range(1, C):
+                cand = scores[c * R : (c + 1) * R, :]
+                upd = cand > best
+                na = jnp.where(upd, c, na)
+                best = jnp.where(upd, cand, best)
+            sw_p = jnp.sum(
+                ((na != prev) & validrow).astype(jnp.int32),
+                axis=1,
+            ).reshape(1, R)
+            obj_p = jnp.sum(
+                jnp.where(validrow, best, 0.0), axis=1
+            ).reshape(1, R)
+
+        onehot = jnp.concatenate(
+            [
+                ((na == c) & validrow).astype(dtype)
+                for c in range(C)
+            ],
+            axis=0,
+        )  # (C·R, Bn), row c·R + r
+        counts_p = jnp.sum(onehot, axis=1).astype(jnp.int32).reshape(1, C * R)
+        mstats = jnp.dot(
+            acc, onehot.T, preferred_element_type=dtype
+        )  # (Facc, C·R)
+
+        assign_out[:, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+            macc_out[:, :] = jnp.zeros_like(macc_out)
+            obj_out[:, :] = jnp.zeros_like(obj_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+        macc_out[:, :] += mstats
+        obj_out[:, :] += obj_p
+
+    return kernel
+
+
+def markov_em_fused_packed_multi(
+    u: jax.Array,  # (T·s, n) from pack_markov_u — shared across restarts
+    lens: jax.Array,  # (n,) int32
+    prev_assign: jax.Array,  # (R, n) int32, one row per restart
+    Wg: jax.Array,  # (R, C, F) canonical weights (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    block_n: int = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """R-restart twin of :func:`markov_em_fused_packed`: runs R
+    independent EM iterations over the SAME batch in one kernel pass —
+    one HBM read and one feature build amortized over all restarts, and
+    full-tile GEMMs (M = C·R score rows).  Returns
+    ``(assign (R, n), counts (R, C), switches (R,), g (R, F, C),
+    objectives (R,))``; each restart's outputs are bit-identical to an
+    R=1 :func:`markov_em_fused_packed` call with the same weights (each
+    score row / stat column is an independent dot product with the same
+    reduction order).
+
+    Built for the reference's 1000-restart multi-start protocol
+    (marginalizable_mixture_model.py:1368-1471), where training cost is
+    R× the single fit but the batch is identical across restarts."""
+    s, ks, Facc, rows = markov_packed_spec(T, d, l)
+    R, C, F = Wg.shape
+    assert prev_assign.shape[0] == R, (prev_assign.shape, R)
+    if block_n is None:
+        ts = T * s
+        block_n = 2048 if ts <= 128 else (1024 if ts <= 256 else 512)
+    Ts, n_pad = u.shape
+    assert Ts == T * s, (Ts, T, s)
+    n = lens.shape[0]
+    rows_j = jnp.asarray(rows)
+    # row c·R + r  ←  Wg[r, c]
+    w_cr = jnp.transpose(Wg, (1, 0, 2)).reshape(C * R, F)
+    wacc = jnp.zeros((C * R, Facc), Wg.dtype).at[:, rows_j].add(w_cr)
+    pad_u = (-n_pad) % block_n
+    if pad_u:
+        u = jnp.concatenate([u, jnp.zeros((Ts, pad_u), u.dtype)], axis=1)
+        n_pad += pad_u
+    if n_pad > n:
+        lens = jnp.concatenate([lens, jnp.zeros((n_pad - n,), lens.dtype)])
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((R, n_pad - n), -1, jnp.int32)], axis=1
+        )
+    a_out, c_out, w_out, macc, o_out = pl.pallas_call(
+        _markov_em_packed_multi_kernel(T, d, l, C, R, s, ks, assign_mode),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((Ts, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((R, block_n), lambda i: (0, i)),
+            pl.BlockSpec((C * R, Facc), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, C * R), lambda i: (0, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, 0)),
+            pl.BlockSpec((Facc, C * R), lambda i: (0, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, C * R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((Facc, C * R), Wg.dtype),
+            jax.ShapeDtypeStruct((1, R), Wg.dtype),
+        ),
+        interpret=interpret,
+    )(
+        u,
+        lens.astype(jnp.int32).reshape(1, n_pad),
+        prev_assign.astype(jnp.int32),
+        wacc,
+    )
+    # column c·R + r  →  (R, F, C) / (R, C)
+    g = macc[rows_j, :].reshape(F, C, R).transpose(2, 0, 1)
+    counts = c_out[0].reshape(C, R).T
+    return a_out[:, :n], counts, w_out[0], g, o_out[0]
 
 
 def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
