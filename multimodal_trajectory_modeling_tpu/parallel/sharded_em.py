@@ -37,6 +37,7 @@ __all__ = [
     "train_em_data_parallel",
     "train_em_shardmap",
     "train_em_markov_shardmap",
+    "train_em_markov_multi_shardmap",
     "train_em_multistart_sharded",
     "train_em_multistart_2d",
 ]
@@ -511,5 +512,173 @@ def train_em_markov_shardmap(
             P(axis),
         ),
         out_specs=(param_spec, P(axis), P(), P()),
+        check_vma=False,
+    )(params0, assign0, z, x, lens)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
+)
+def train_em_markov_multi_shardmap(
+    params0,  # leading R axis on every leaf — replicated
+    assign0,  # (R, n) int32 — n sharded over "data"
+    z,
+    x,
+    lens,
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+):
+    """Data-parallel FUSED-MULTISTART Markov EM: every device holds all R
+    restart parameter rows (tiny) and its own trajectory shard; each
+    iteration is ONE R-restart packed kernel pass per shard
+    (ops/pallas_markov.py:markov_em_fused_packed_multi — batch read and
+    feature build amortized across the chunk) followed by psums of the
+    per-restart statistics blocks ``g (R, F, C)``, membership counts
+    ``(R, C)`` and switch counts ``(R,)``.  All devices cooperate on every
+    restart — the complement of :func:`train_em_multistart_sharded`
+    (restarts sharded, data replicated): use THIS when n is too large per
+    device, THAT when restarts outnumber devices and data fits per chip.
+
+    Per-restart status/convergence semantics equal
+    :func:`..models.em.train_em_markov_multi` exactly (up to psum
+    reassociation — exact on the f64 test mesh); the loop runs until every
+    restart in the chunk is terminal.  Returns ``(params (R, ...), assign
+    (R, n), iters (R,), status (R,))``.
+
+    Reference protocol: mixture:1368-1471 (n_starts sequential ``train()``
+    calls); communication is ~R·(F·C+C+1) floats per iteration, rides ICI.
+    """
+    from multimodal_trajectory_modeling_tpu.models.em import (
+        STATUS_CONVERGED,
+        STATUS_EMPTY_CLUSTER,
+        STATUS_INIT_ABORT,
+        STATUS_RUNNING,
+        MixtureParams,
+        _tree_select_rows,
+        _unpack_markov_em_stats,
+        counts_from_assign,
+    )
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    R, C = params0.pi.shape
+    T, _, d = z.shape
+    l = x.shape[-1]
+    axis = "data"
+    interpret = jax.devices()[0].platform not in ("tpu",)
+
+    def shard_fn(params0, assign0, z_l, x_l, lens_l):
+        assign0 = assign0.astype(jnp.int32)
+        n_l = z_l.shape[1]
+        z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
+        x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
+        u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
+        n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
+
+        def fused(params, prev, mode):
+            Wg = jax.vmap(mops.markov_em_weights)(
+                params.m, params.S, params.A, params.G, params.H, params.L
+            )
+            Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
+            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed_multi(
+                u_l,
+                lens_l,
+                prev,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=mode,
+                interpret=interpret,
+            )
+            g = jax.lax.psum(g, axis)
+            w = jax.lax.psum(w, axis)
+            c = jax.lax.psum(c, axis)
+
+            def solve_one(g_r, c_r):
+                tstats, mstats, istats = _unpack_markov_em_stats(g_r, d, l)
+                pi = c_r.astype(z_l.dtype) / n_total
+                m0, S0 = rops.mean_cov_from_stats(istats)
+                A, G = rops.solve_regression(
+                    tstats, mode=reg_mode, alpha=alpha
+                )
+                H, L = rops.solve_regression(
+                    mstats, mode=reg_mode, alpha=alpha
+                )
+                return MixtureParams(pi, m0, S0, A, G, H, L)
+
+            return jax.vmap(solve_one)(g, c), a, c, w
+
+        counts0 = jax.lax.psum(
+            jax.vmap(counts_from_assign, in_axes=(0, None))(assign0, C),
+            axis,
+        )
+        init_abort = jnp.min(counts0, axis=1) <= min_members  # (R,)
+        params_m, _, _, _ = fused(params0, assign0, "prev")
+        params_start = _tree_select_rows(init_abort, params0, params_m)
+        status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+        def cond(state):
+            _, _, i, status, _ = state
+            return jnp.any(status == STATUS_RUNNING) & (i < n_steps)
+
+        def body(state):
+            params, assign, i, status, iters = state
+            new_params, new_assign, counts, switches = fused(
+                params, assign, "argmax"
+            )
+            running = status == STATUS_RUNNING  # (R,)
+            converged = running & (switches == 0)
+            empty = (
+                running
+                & ~converged
+                & (jnp.min(counts, axis=1) <= min_members)
+            )
+            run_m = running & ~converged & ~empty
+            params_out = _tree_select_rows(run_m, new_params, params)
+            assign_out = jnp.where(running[:, None], new_assign, assign)
+            status_out = jnp.where(
+                converged,
+                STATUS_CONVERGED,
+                jnp.where(empty, STATUS_EMPTY_CLUSTER, status),
+            )
+            return (
+                params_out,
+                assign_out,
+                i + 1,
+                status_out,
+                iters + running.astype(jnp.int32),
+            )
+
+        params_f, assign_f, _i, status, iters = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                params_start,
+                assign0,
+                jnp.int32(0),
+                status0,
+                jnp.zeros((R,), jnp.int32),
+            ),
+        )
+        return params_f, assign_f, iters, status
+
+    param_spec = jax.tree.map(lambda _: P(), params0)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(None, axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis),
+        ),
+        out_specs=(param_spec, P(None, axis), P(), P()),
         check_vma=False,
     )(params0, assign0, z, x, lens)

@@ -291,3 +291,56 @@ def test_markov_shardmap_matches_single_device(problem):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
         )
+
+def test_markov_multi_shardmap_matches_unsharded(problem):
+    """Data-parallel fused-MULTISTART Markov EM: R restart rows replicated,
+    trajectories sharded; per-restart psum'd statistics must reproduce
+    em.train_em_markov_multi exactly on the f64 test mesh."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(21)
+    R, C = 4, 3
+    z = np.asarray(problem["z"])
+    d, l = z.shape[-1], np.asarray(problem["x"]).shape[-1]
+    n = z.shape[1]
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+
+    def one_params():
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.asarray(np.stack([np.eye(d)] * C)),
+            A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+            G=jnp.asarray(np.stack([np.eye(d)] * C)),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.asarray(np.stack([np.eye(l)] * C)),
+        )
+
+    params0 = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[one_params() for _ in range(R)]
+    )
+    assign0 = jnp.asarray(
+        rng.integers(0, C, size=(R, n)).astype(np.int32)
+    )
+    ref = em.train_em_markov_multi(
+        params0, assign0, problem["z"], problem["x"], lens, n_steps=60
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = sharded_em.train_em_markov_multi_shardmap(
+        params0,
+        assign0,
+        problem["z"],
+        problem["x"],
+        lens,
+        mesh=mesh,
+        n_steps=60,
+    )
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
+        )
