@@ -96,11 +96,14 @@ def kalman_observed_logliks(
     /innovation pass instead of ``lax.scan``: the remote TPU compiler
     takes minutes on large-carry scans (observed >9 min at n=1e5), while
     the unrolled loop compiles in seconds; default unrolls for T ≤ 128
-    (the tiny data-independent covariance scan always stays a scan)."""
+    ON TPU only (the tiny data-independent covariance scan always stays
+    a scan).  CPU XLA has the OPPOSITE pathology — the unrolled graph
+    can take minutes to compile while the scan compiles in seconds — so
+    off-TPU the default is always the scan."""
     T, n, l = x.shape
     dtype = x.dtype
     if unroll is None:
-        unroll = T <= 128
+        unroll = T <= 128 and jax.devices()[0].platform == "tpu"
     xm = jnp.where(jnp.isfinite(x), x, 0.0)
     tgrid = jnp.arange(T, dtype=lens.dtype)
     vm = (tgrid[:, None] < lens[None, :]).astype(dtype)  # (T, n)
@@ -224,14 +227,16 @@ def kalman_masked_logliks(
     corner).
 
     ``unroll`` selects a static Python time loop (remote-compiler
-    friendly at small T) vs ``lax.scan``; default unrolls for T ≤ 16.
+    friendly at small T) vs ``lax.scan``; default unrolls for T ≤ 16 ON
+    TPU only — CPU XLA compiles the unrolled scalarized graph
+    pathologically slowly (>2 min at T=8) while the scan takes seconds.
     """
     T, n, d = z.shape
     l = x.shape[-1]
     D = d + l
     dtype = z.dtype
     if unroll is None:
-        unroll = T <= 16
+        unroll = T <= 16 and jax.devices()[0].platform == "tpu"
 
     zc = jnp.where(jnp.isfinite(z), z, 0.0).transpose(0, 2, 1)  # (T, d, n)
     xc = jnp.where(jnp.isfinite(x), x, 0.0).transpose(0, 2, 1)  # (T, l, n)

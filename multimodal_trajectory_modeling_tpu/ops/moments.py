@@ -90,7 +90,11 @@ def latent_cov_blocks(
     ``Cov(Z_i, Z_j) = Var(Z_i) A^{j-i}`` for j >= i (reference ``_CZZij``,
     marginalizable_state_space_model.py:67-105).  All T variance blocks are
     scanned once, then a second scan multiplies the whole stack by ``A``
-    repeatedly, producing every required power-lag in T steps.
+    repeatedly, producing every required power-lag in T steps; the
+    (T, T) block grid is assembled as ONE vectorized gather
+    ``B[i, j] = Gk[|j-i|, min(i, j)]`` (transposed below the diagonal)
+    rather than a T² Python loop (65k eager dispatches at T=256 cost
+    ~16 s on CPU; the gather is milliseconds and jit-friendly).
     """
     Vs = _variance_chain(T, S, A, G)
 
@@ -98,11 +102,10 @@ def latent_cov_blocks(
         return C @ A, C
 
     _, Gk = jax.lax.scan(step, Vs, None, length=T)  # Gk[k, i] = Var(Z_i) A^k
-    rows = [
-        [(Gk[j - i, i] if j >= i else Gk[i - j, j].T) for j in range(T)]
-        for i in range(T)
-    ]
-    return jnp.stack([jnp.stack(r) for r in rows])  # (T, T, d, d)
+    ii, jj = jnp.meshgrid(jnp.arange(T), jnp.arange(T), indexing="ij")
+    B = Gk[jnp.abs(jj - ii), jnp.minimum(ii, jj)]  # (T, T, d, d)
+    lower = (jj < ii)[:, :, None, None]
+    return jnp.where(lower, jnp.swapaxes(B, -1, -2), B)
 
 
 def _blocks_to_matrix(B: jax.Array) -> jax.Array:

@@ -27,6 +27,21 @@ if os.environ.get("MTM_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound (hundreds of
+# small x64 CPU executables, re-paid every run AND after each
+# clear_caches below).  A disk cache turns those into millisecond loads
+# from the second run on.  Keyed by jaxlib version internally; safe to
+# delete any time.
+_cache_dir = os.environ.get(
+    "MTM_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tmp",
+                 "xla-test-cache"),
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 import pytest  # noqa: E402
 
