@@ -115,9 +115,12 @@ def bench_tpu(z, x, v, patterns, pid):
     # NOTES: (a) the batch must be passed as arguments — closing over large
     # device arrays embeds them as HLO constants and blows up the compile
     # payload (observed: HTTP 413 from the remote compile service at n=1e6);
-    # (b) one fused E+M step compiles in seconds while a fori_loop of 10
-    # steps takes minutes through the remote compiler — so we compile the
-    # single step and chain it from the host (dispatch ≪ step time).
+    # (b) the whole BENCH_ITERS loop runs as ONE dispatched fori_loop —
+    # exactly like the production `train_em_markov` while_loop — which
+    # compiles in ~2 s with the packed kernel and removes the per-step
+    # host-dispatch jitter (measured +3-4% over host-chained steps; an
+    # earlier ">15 min remote compile" pathology predated the packed
+    # kernel and no longer reproduces).
     # The benchmark batch has suffix-only missingness (three trajectory
     # lengths), so the production path is the fused O(T) Markov EM kernel:
     # ONE kernel pass per iteration builds the per-row chain-rule features
@@ -140,16 +143,26 @@ def bench_tpu(z, x, v, patterns, pid):
         ztp, xtp
     )
 
-    em_step = jax.jit(functools.partial(em.emstep_markov, T=T))
+    @jax.jit
+    def run_iters(params, assign, ztp, xtp, lens, u):
+        def body(_i, st):
+            p, a = st
+            p2, a2, _c, _w = em.emstep_markov(
+                p, ztp, xtp, lens, a, T=T, u=u, interpret=False
+            )
+            return (p2, a2)
+
+        return jax.lax.fori_loop(
+            0, BENCH_ITERS, body, (params, assign)
+        )
 
     assign = jnp.zeros((v.shape[0],), jnp.int32)
-    params, assign, _c, _w = em_step(params0, ztp, xtp, lens, assign, u=u)
+    params, assign = run_iters(params0, assign, ztp, xtp, lens, u)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
-    for _ in range(BENCH_ITERS):
-        params, assign, _c, _w = em_step(params, ztp, xtp, lens, assign, u=u)
+    params, assign = run_iters(params, assign, ztp, xtp, lens, u)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"
