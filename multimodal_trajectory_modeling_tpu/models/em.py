@@ -70,6 +70,7 @@ __all__ = [
     "train_em_sorted",
     "train_em_markov",
     "train_em_markov_multi",
+    "train_em_markov_pool",
     "train_em_multistart",
     "pack_markov_batch",
     "emstep_markov",
@@ -1122,6 +1123,7 @@ def emstep_markov_multi(
     *,
     T: int,
     assign_mode: str = "argmax",
+    force_prev: jax.Array = None,  # (R,) — per-slot prev mode
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     interpret: bool = None,
@@ -1134,7 +1136,10 @@ def emstep_markov_multi(
     (R, n), counts (R, C), switches (R,), objectives (R,))``; each
     restart equals a separate :func:`emstep_markov` call exactly (the
     per-row dot products are unchanged).  The batch must be pre-packed
-    (``u``) — multistart hoists it once for the whole sweep."""
+    (``u``) — multistart hoists it once for the whole sweep.
+    ``force_prev`` puts individual slots in prev mode for this pass
+    (a pool-scheduler insertion's initial M step — see
+    :func:`train_em_markov_pool`)."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -1157,6 +1162,7 @@ def emstep_markov_multi(
             d=d,
             l=l,
             assign_mode=assign_mode,
+            force_prev=force_prev,
             interpret=interpret,
         )
     )
@@ -1271,6 +1277,236 @@ def train_em_markov_multi(
         ),
     )
     return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "T",
+        "K",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+    ),
+)
+def _pool_window(
+    params,  # stacked (R-leading) MixtureParams
+    assigns,  # (R, n) int32
+    status,  # (R,) int32
+    iters,  # (R,) int32
+    force,  # (R,) int32 — 1 ⇒ slot's next pass is its initial M step
+    lens,  # (n,) int32
+    u,  # (T·s, n) packed batch
+    *,
+    T: int,
+    K: int,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+):
+    """K fused multi-restart EM iterations in ONE dispatch, with
+    per-slot freezing (terminal slots idle) and per-slot insertion
+    (``force`` slots take their initial prev-M step on their first
+    active pass, uncounted).  Module-level jit — traced/compiled once
+    per static config, reused across every pool round and every fit."""
+
+    def body(_k, state):
+        params, assigns, status, iters, force = state
+        new_params, new_assign, counts, switches, _obj = (
+            emstep_markov_multi(
+                params,
+                lens,
+                assigns,
+                u,
+                T=T,
+                force_prev=force,
+                reg_mode=reg_mode,
+                alpha=alpha,
+            )
+        )
+        fp = force > 0
+        active = (status == STATUS_RUNNING) & (iters < n_steps)
+        stepped = active & ~fp  # a counted argmax iteration
+        converged = stepped & (switches == 0)
+        empty = (
+            stepped & ~converged & (jnp.min(counts, axis=1) <= min_members)
+        )
+        advance = stepped & ~converged & ~empty
+        take_new = (active & fp) | advance  # prev-M result or EM update
+        params_out = _tree_select_rows(take_new, new_params, params)
+        assigns_out = jnp.where(active[:, None], new_assign, assigns)
+        status_out = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(empty, STATUS_EMPTY_CLUSTER, status),
+        )
+        iters_out = iters + stepped.astype(jnp.int32)
+        force_out = jnp.where(active & fp, 0, force)
+        return (params_out, assigns_out, status_out, iters_out, force_out)
+
+    return jax.lax.fori_loop(
+        0, K, body, (params, assigns, status, iters, force)
+    )
+
+
+def train_em_markov_pool(
+    params_list,  # sequence of per-candidate MixtureParams
+    assign_list,  # sequence of per-candidate (n,) int assignments
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded — shared
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+    *,
+    R: int = 32,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    sync_every: int = 8,
+    u: jax.Array = None,
+) -> list:
+    """Slot-pool multistart: train every candidate through R kernel
+    slots, REFILLING a slot with the next candidate the moment its
+    occupant terminates — unlike the fixed-chunk
+    :func:`train_em_markov_multi`, no slot idles waiting for a chunk's
+    slowest restart, so the convergence-spread waste that caps the
+    useful chunk size disappears and R can ride the kernel's large-R
+    efficiency (PARITY: R=32 runs ~4.6× a single restart, but a fixed
+    R=32 chunk wastes most of that on spread).
+
+    A freshly inserted candidate takes its initial M step via the
+    per-slot ``force_prev`` flag IN THE SAME dispatch as the other
+    slots' argmax iterations — insertion costs zero extra kernel
+    passes.  The host syncs only every ``sync_every`` iterations: a
+    module-level jitted window (:func:`_pool_window`) runs K fused
+    multi-iterations per dispatch with per-slot freezing, so a slot
+    idles at most K−1 passes after terminating before its refill (vs
+    the full chunk spread).  Each candidate's trajectory, iteration
+    count and status are identical to a standalone
+    :func:`train_em_markov` run (same per-row dot products; verified in
+    f64), and results are returned in candidate order, so the
+    first-strictly-greater winner rule is unaffected.  Returns
+    ``[(params, assign (n,), iters, status), ...]`` per candidate.
+
+    Reference protocol: mixture:1368-1471 (n_starts sequential fits).
+    """
+    import numpy as np
+
+    n_cand = len(params_list)
+    assert len(assign_list) == n_cand
+    results = [None] * n_cand
+    T, n, d = z.shape
+    l = x.shape[-1]
+    C = params_list[0].pi.shape[0]
+    R = max(1, min(R, n_cand))
+    K = max(1, int(sync_every))
+
+    if u is None:
+        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+        u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+
+    next_cand = 0
+
+    def take_next():
+        """Next candidate that survives the init guard; init-abort
+        candidates are recorded immediately (reference: status 3, raw
+        params, zero iterations)."""
+        nonlocal next_cand
+        while next_cand < n_cand:
+            i = next_cand
+            next_cand += 1
+            a0 = np.asarray(assign_list[i]).astype(np.int32)
+            cmin = np.bincount(a0, minlength=C).min()
+            if cmin <= min_members:
+                results[i] = (
+                    params_list[i],
+                    a0,
+                    0,
+                    int(STATUS_INIT_ABORT),
+                )
+                continue
+            return i, a0
+        return None
+
+    slot_cand = [-1] * R  # candidate index, -1 = drained
+    stack = jax.tree.map(
+        lambda *ps: jnp.stack(ps), *([params_list[0]] * R)
+    )
+    assigns = jnp.zeros((R, n), jnp.int32)
+    status = jnp.full((R,), STATUS_CONVERGED, jnp.int32)  # idle until fill
+    iters = jnp.zeros((R,), jnp.int32)
+    force = jnp.zeros((R,), jnp.int32)
+
+    def refill(rows):
+        """Insert the next candidates into ``rows`` — ONE batched
+        device update per state array."""
+        nonlocal stack, assigns, status, iters, force, slot_cand
+        take_rows, take_params, take_assigns = [], [], []
+        for r in rows:
+            nxt = take_next()
+            if nxt is None:
+                slot_cand[r] = -1
+                continue
+            i, a0 = nxt
+            slot_cand[r] = i
+            take_rows.append(r)
+            take_params.append(params_list[i])
+            take_assigns.append(a0)
+        if not take_rows:
+            return
+        rj = jnp.asarray(np.asarray(take_rows, np.int32))
+        pstack = jax.tree.map(lambda *ps: jnp.stack(ps), *take_params)
+        stack = jax.tree.map(
+            lambda s, p: s.at[rj].set(p), stack, pstack
+        )
+        assigns = assigns.at[rj].set(jnp.asarray(np.stack(take_assigns)))
+        status = status.at[rj].set(STATUS_RUNNING)
+        iters = iters.at[rj].set(0)
+        force = force.at[rj].set(1)
+
+    refill(list(range(R)))
+
+    while any(c >= 0 for c in slot_cand):
+        stack, assigns, status, iters, force = _pool_window(
+            stack,
+            assigns,
+            status,
+            iters,
+            force,
+            lens,
+            u,
+            T=T,
+            K=K,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=float(alpha),
+            min_members=min_members,
+        )
+        status_h = np.asarray(status)
+        iters_h = np.asarray(iters)
+        done_rows = []
+        for r in range(R):
+            if slot_cand[r] < 0:
+                continue
+            terminal = status_h[r] != STATUS_RUNNING
+            capped = (
+                status_h[r] == STATUS_RUNNING and iters_h[r] >= n_steps
+            )
+            if not (terminal or capped):
+                continue
+            results[slot_cand[r]] = (
+                jax.tree.map(lambda q: q[r], stack),
+                np.asarray(assigns[r]),
+                int(iters_h[r]),
+                int(status_h[r]),
+            )
+            done_rows.append(r)
+        if done_rows:
+            refill(done_rows)
+
+    return results
 
 
 def complete_data_loglik_markov_multi(

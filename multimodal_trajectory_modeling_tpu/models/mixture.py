@@ -966,13 +966,17 @@ class MMLinGaussSS_marginalizable:
                 patterns, z.shape[0], z.shape[-1], x.shape[-1]
             )
             if plens is not None:
-                # suffix missingness → fused O(T) Markov EM, R candidates
-                # per kernel pass (one batch read + one feature build
-                # amortized over the chunk; em.train_em_markov_multi).
-                # The per-candidate objective comes from the same kernel
-                # (Σ max scores = e_complete_data_log_lik under a fresh E);
-                # candidate order — and hence the first-strictly-greater
-                # winner rule — is unchanged.
+                # suffix missingness → fused O(T) Markov EM through the
+                # R-slot POOL scheduler (em.train_em_markov_pool): one
+                # batch read + one feature build per kernel pass serve R
+                # simultaneous candidates, and a slot is refilled the
+                # moment its occupant terminates (a fresh candidate's
+                # initial M step rides the same dispatch via the
+                # per-slot force_prev flag) — no convergence-spread
+                # waste, so R can ride the kernel's large-R efficiency.
+                # Per-candidate trajectories are identical to standalone
+                # runs and results come back in candidate order, so the
+                # first-strictly-greater winner rule is unchanged.
                 lens = jnp.asarray(plens[pid_np])
                 T0_, d_n, l_n = z.shape[0], z.shape[-1], x.shape[-1]
                 z_tp = jnp.transpose(z, (0, 2, 1)).reshape(
@@ -983,63 +987,57 @@ class MMLinGaussSS_marginalizable:
                 )
                 s_pack = 8 * ((d_n + l_n + 7) // 8)
                 r_fuse = (
-                    int(os.environ.get("MTM_MULTISTART_FUSE", "8"))
+                    int(os.environ.get("MTM_MULTISTART_FUSE", "32"))
                     if T0_ * s_pack <= 512  # packed-kernel VMEM gate
                     else 1
                 )
-                u_pack = (
-                    em.pack_markov_batch(z_tp, x_tp, T=T0_, d=d_n, l=l_n)
-                    if r_fuse > 1
-                    else None
-                )
-                for i0 in range(0, len(candidates), max(r_fuse, 1)):
-                    chunk = candidates[i0 : i0 + max(r_fuse, 1)]
-                    if len(chunk) > 1:
+                if r_fuse > 1 and len(candidates) > 1:
+                    u_pack = em.pack_markov_batch(
+                        z_tp, x_tp, T=T0_, d=d_n, l=l_n
+                    )
+                    pooled = em.train_em_markov_pool(
+                        [c._stacked_params() for c in candidates],
+                        [
+                            np.asarray(c.cluster_assignment)
+                            for c in candidates
+                        ],
+                        z,
+                        x,
+                        lens,
+                        R=r_fuse,
+                        n_steps=n_steps,
+                        reg_mode=reg_mode,
+                        alpha=float(self.alpha),
+                        u=u_pack,
+                    )
+                    # objectives (Σ max scores = e_complete_data_log_lik
+                    # under a fresh E) in R-sized kernel batches
+                    for i0 in range(0, len(pooled), r_fuse):
+                        grp = pooled[i0 : i0 + r_fuse]
                         params_st = jax.tree.map(
                             lambda *ps: jnp.stack(ps),
-                            *[c._stacked_params() for c in chunk],
+                            *[p for p, _a, _it, _st in grp],
                         )
-                        assigns = jnp.asarray(
-                            np.stack(
-                                [
-                                    np.asarray(c.cluster_assignment)
-                                    for c in chunk
-                                ]
-                            ).astype(np.int32)
+                        objs = em.complete_data_loglik_markov_multi(
+                            params_st, lens, u_pack, T=T0_
                         )
+                        for (p, a, _it, _st), o in zip(grp, objs):
+                            results_params.append(p)
+                            results_assign.append(np.asarray(a))
+                            objectives.append(float(o))
+                else:
+                    for cand in candidates:
                         params_c, assign_c, _it, _st = (
-                            em.train_em_markov_multi(
-                                params_st,
-                                assigns,
+                            em.train_em_markov(
+                                cand._stacked_params(),
+                                jnp.asarray(cand.cluster_assignment),
                                 z,
                                 x,
                                 lens,
                                 n_steps=n_steps,
                                 reg_mode=reg_mode,
                                 alpha=float(self.alpha),
-                                u=u_pack,
                             )
-                        )
-                        objs = em.complete_data_loglik_markov_multi(
-                            params_c, lens, u_pack, T=T0_
-                        )
-                        for r in range(len(chunk)):
-                            results_params.append(
-                                jax.tree.map(lambda q: q[r], params_c)
-                            )
-                            results_assign.append(np.asarray(assign_c[r]))
-                            objectives.append(float(objs[r]))
-                    else:
-                        cand = chunk[0]
-                        params_c, assign_c, _it, _st = em.train_em_markov(
-                            cand._stacked_params(),
-                            jnp.asarray(cand.cluster_assignment),
-                            z,
-                            x,
-                            lens,
-                            n_steps=n_steps,
-                            reg_mode=reg_mode,
-                            alpha=float(self.alpha),
                         )
                         obj = float(
                             em.complete_data_loglik_markov(

@@ -702,6 +702,7 @@ def _markov_em_packed_multi_kernel(
         u_ref,  # (T·s, Bn) packed sanitized batch (shared)
         lens_ref,  # (1, Bn) int32 (shared)
         prev_ref,  # (R, Bn) int32; padded lanes carry -1
+        force_ref,  # (R, 1) int32; 1 ⇒ this slot takes prev (initial M)
         wacc_ref,  # (C·R, Facc) folded weights, row c·R + r
         assign_out,  # (R, Bn) int32
         counts_out,  # (1, C·R) int32, col c·R + r
@@ -734,12 +735,22 @@ def _markov_em_packed_multi_kernel(
                 upd = cand > best
                 na = jnp.where(upd, c, na)
                 best = jnp.where(upd, cand, best)
+            # per-slot prev-mode: a slot whose force flag is set takes
+            # its incoming assignment verbatim (the pool scheduler's
+            # freshly inserted candidate runs its initial M step in the
+            # same dispatch as the others' argmax step; its scores —
+            # from the raw constructor params — are discarded).  The
+            # flag rides an (R, 1) block and broadcasts along lanes —
+            # Mosaic cannot reshape 1-D mask vectors.
+            fp = force_ref[:, :] > 0  # (R, 1)
+            na = jnp.where(fp, prev, na)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32),
                 axis=1,
             ).reshape(1, R)
             obj_p = jnp.sum(
-                jnp.where(validrow, best, 0.0), axis=1
+                jnp.where(validrow & jnp.logical_not(fp), best, 0.0),
+                axis=1,
             ).reshape(1, R)
 
         onehot = jnp.concatenate(
@@ -781,6 +792,7 @@ def markov_em_fused_packed_multi(
     d: int,
     l: int,
     assign_mode: str = "argmax",
+    force_prev: jax.Array = None,  # (R,) int32/bool; 1 ⇒ slot takes prev
     block_n: int = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -796,7 +808,12 @@ def markov_em_fused_packed_multi(
 
     Built for the reference's 1000-restart multi-start protocol
     (marginalizable_mixture_model.py:1368-1471), where training cost is
-    R× the single fit but the batch is identical across restarts."""
+    R× the single fit but the batch is identical across restarts.
+
+    ``force_prev`` marks slots that take their incoming assignment
+    verbatim this pass (per-slot prev mode — the pool scheduler's
+    initial M step for a freshly inserted candidate); their switch
+    count is 0 by construction and their objective output is 0."""
     s, ks, Facc, rows = markov_packed_spec(T, d, l)
     R, C, F = Wg.shape
     assert prev_assign.shape[0] == R, (prev_assign.shape, R)
@@ -819,6 +836,8 @@ def markov_em_fused_packed_multi(
         prev_assign = jnp.concatenate(
             [prev_assign, jnp.full((R, n_pad - n), -1, jnp.int32)], axis=1
         )
+    if force_prev is None:
+        force_prev = jnp.zeros((R,), jnp.int32)
     a_out, c_out, w_out, macc, o_out = pl.pallas_call(
         _markov_em_packed_multi_kernel(T, d, l, C, R, s, ks, assign_mode),
         grid=(n_pad // block_n,),
@@ -826,6 +845,7 @@ def markov_em_fused_packed_multi(
             pl.BlockSpec((Ts, block_n), lambda i: (0, i)),
             pl.BlockSpec((1, block_n), lambda i: (0, i)),
             pl.BlockSpec((R, block_n), lambda i: (0, i)),
+            pl.BlockSpec((R, 1), lambda i: (0, 0)),
             pl.BlockSpec((C * R, Facc), lambda i: (0, 0)),
         ],
         out_specs=(
@@ -847,6 +867,7 @@ def markov_em_fused_packed_multi(
         u,
         lens.astype(jnp.int32).reshape(1, n_pad),
         prev_assign.astype(jnp.int32),
+        force_prev.astype(jnp.int32).reshape(R, 1),
         wacc,
     )
     # column c·R + r  →  (R, F, C) / (R, C)

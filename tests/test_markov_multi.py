@@ -167,3 +167,63 @@ def test_complete_data_loglik_markov_multi_matches_single():
         np.testing.assert_allclose(
             float(objs[r]), float(want), rtol=1e-12, atol=1e-10
         )
+
+
+def test_pool_matches_sequential_train():
+    """The slot-pool multistart (R slots, refilled on termination) must
+    return, for EVERY candidate, the same trained params, assignment,
+    iteration count and status as a standalone ``train_em_markov`` run
+    — in candidate order — including init-abort, n_steps-capped and
+    converged candidates, with R small enough to force many refills."""
+    rng = np.random.default_rng(3)
+    C, T, n, d, l = 3, 6, 240, 2, 2
+    z, x, lens = _mixture_batch(5, C, T, n, d, l)
+    n_cand = 9
+    params_list = [_params_one(rng, C, d, l) for _ in range(n_cand)]
+    assign_list = [
+        rng.integers(0, C, size=n).astype(np.int32) for _ in range(n_cand)
+    ]
+    # candidate 2: init abort (one cluster below the member floor)
+    assign_list[2] = np.zeros(n, np.int32)
+    assign_list[2][:2] = 1
+    assign_list[2][2 : n - 2] = np.where(
+        np.arange(n - 4) % 2 == 0, 0, 2
+    ).astype(np.int32)
+
+    want = []
+    for p0, a0 in zip(params_list, assign_list):
+        res = em.train_em_markov(
+            p0, jnp.asarray(a0), z, x, lens, n_steps=5
+        )
+        want.append(res)
+
+    got = em.train_em_markov_pool(
+        params_list,
+        assign_list,
+        z,
+        x,
+        lens,
+        R=3,
+        n_steps=5,
+    )
+
+    assert len(got) == n_cand
+    for i, ((pw, aw, iw, sw), (pg, ag, ig, sg)) in enumerate(
+        zip(want, got)
+    ):
+        assert int(sw) == int(sg), (i, int(sw), int(sg))
+        assert int(iw) == int(ig), (i, int(iw), int(ig))
+        np.testing.assert_array_equal(
+            np.asarray(aw), np.asarray(ag), err_msg=f"cand {i}"
+        )
+        for leaf_w, leaf_g in zip(
+            jax.tree_util.tree_leaves(pw),
+            jax.tree_util.tree_leaves(pg),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_g),
+                np.asarray(leaf_w),
+                rtol=1e-12,
+                atol=1e-14,
+                err_msg=f"cand {i}",
+            )
