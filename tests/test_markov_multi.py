@@ -227,3 +227,52 @@ def test_pool_matches_sequential_train():
                 atol=1e-14,
                 err_msg=f"cand {i}",
             )
+
+
+def test_pool_edge_cases():
+    """Pool edge cases: fewer candidates than slots (R clamps to
+    n_cand), and a sweep where EVERY candidate trips the init-abort
+    guard (no kernel pass should change anything; raw params and zero
+    iterations come back, reference status 3)."""
+    rng = np.random.default_rng(11)
+    C, T, n, d, l = 3, 6, 200, 2, 2
+    z, x, lens = _mixture_batch(13, C, T, n, d, l)
+
+    # (a) n_cand=2 with R=32
+    params_list = [_params_one(rng, C, d, l) for _ in range(2)]
+    assign_list = [
+        rng.integers(0, C, size=n).astype(np.int32) for _ in range(2)
+    ]
+    want = [
+        em.train_em_markov(p, jnp.asarray(a), z, x, lens, n_steps=4)
+        for p, a in zip(params_list, assign_list)
+    ]
+    got = em.train_em_markov_pool(
+        params_list, assign_list, z, x, lens, R=32, n_steps=4
+    )
+    for (pw, aw, iw, sw), (pg, ag, ig, sg) in zip(want, got):
+        assert (int(sw), int(iw)) == (int(sg), int(ig))
+        np.testing.assert_array_equal(np.asarray(aw), np.asarray(ag))
+        for lw, lg in zip(
+            jax.tree_util.tree_leaves(pw), jax.tree_util.tree_leaves(pg)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lg), np.asarray(lw), rtol=1e-12, atol=1e-14
+            )
+
+    # (b) every candidate init-aborts
+    bad = np.zeros(n, np.int32)
+    bad[0] = 1
+    bad[1] = 2
+    got = em.train_em_markov_pool(
+        [params_list[0]] * 3, [bad] * 3, z, x, lens, R=2, n_steps=4
+    )
+    for pg, ag, ig, sg in got:
+        assert int(sg) == int(em.STATUS_INIT_ABORT)
+        assert int(ig) == 0
+        np.testing.assert_array_equal(np.asarray(ag), bad)
+        for lw, lg in zip(
+            jax.tree_util.tree_leaves(params_list[0]),
+            jax.tree_util.tree_leaves(pg),
+        ):
+            np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
