@@ -207,6 +207,49 @@ def main():
         flush=True,
     )
 
+    # --- pool path: R_POOL slots, refill on termination ---------------
+    # (the production multistart scheduler: no convergence-spread
+    # idling, so the slot count can ride the kernel's large-R
+    # efficiency — em.train_em_markov_pool)
+    R_POOL = int(os.environ.get("MTM_MULTISTART_POOL", "32"))
+    # warm the jitted K-iteration window (same static config + shapes as
+    # the timed sweep — the other sections warm their compiles too)
+    em.train_em_markov_pool(
+        [params0] * min(R_POOL, R),
+        [starts[i] for i in range(min(R_POOL, R))],
+        z,
+        x,
+        lens,
+        R=R_POOL,
+        n_steps=N_STEPS,
+        u=u_pack,
+    )
+    t0 = time.perf_counter()
+    pooled = em.train_em_markov_pool(
+        [params0] * R,
+        [starts[i] for i in range(R)],
+        z,
+        x,
+        lens,
+        R=R_POOL,
+        n_steps=N_STEPS,
+        u=u_pack,
+    )
+    pstack = jax.tree.map(
+        lambda *ps: jnp.stack(ps), *[p for p, _a, _i, _s in pooled]
+    )
+    objs_p = np.asarray(obj_multi(pstack, lens, u_pack)).tolist()
+    dt_pool = time.perf_counter() - t0
+    tot_iters_p = sum(int(r[2]) for r in pooled)
+    finite_p = [o for o in objs_p if np.isfinite(o)]
+    print(
+        f"pool (R={R_POOL} slots): {R} starts x n={n}: "
+        f"{dt_pool:.1f} s wall, {tot_iters_p} EM iters -> "
+        f"{tot_iters_p/dt_pool:.1f} agg iters/s, "
+        f"{len(finite_p)}/{R} finite objectives",
+        flush=True,
+    )
+
     # --- vmapped path: one batch of VMAP_BATCH, extrapolated ----------
     pb = jax.tree.map(
         lambda *xs: jnp.stack(xs), *([params0] * VMAP_BATCH)
@@ -241,6 +284,7 @@ def main():
                 "fused_multi_iters_per_sec": round(
                     tot_iters_m / dt_multi, 2
                 ),
+                "pool_iters_per_sec": round(tot_iters_p / dt_pool, 2),
                 "vmapped_iters_per_sec": round(rate_v, 2),
                 "speedup": round((tot_iters / dt_fast) / rate_v, 2),
                 "fused_multi_vs_fast": round(
