@@ -224,6 +224,11 @@ def main():
         n_steps=N_STEPS,
         u=u_pack,
     )
+    # warm the objective at the full-R stacked shape too — otherwise its
+    # compile lands inside the timed region (the other sections warm
+    # their objective calls at their exact timed shapes)
+    pb_all = jax.tree.map(lambda *xs: jnp.stack(xs), *([params0] * R))
+    float(obj_multi(pb_all, lens, u_pack)[0])
     t0 = time.perf_counter()
     pooled = em.train_em_markov_pool(
         [params0] * R,

@@ -837,6 +837,27 @@ def _tree_select(pred, on_true, on_false):
     )
 
 
+def _em_termination(switches, counts, status_else, *, min_members):
+    """Per-step termination classification shared by EVERY trainer
+    (scalar or per-restart (R,)-row operands alike): ``converged`` =
+    zero assignment switches, ``empty`` = some cluster at/below the
+    member floor (convergence wins the tie — the reference checks
+    switches first, mixture:1341-1356), ``advance`` = take the new M
+    params and keep running.  ``status`` nests CONVERGED over
+    EMPTY_CLUSTER over ``status_else`` (the caller's keep-running
+    value).  One definition keeps the five trainer loops — dense,
+    sorted, Markov, multi-restart, pool window — in exact agreement."""
+    converged = switches == 0
+    empty = (~converged) & (jnp.min(counts, axis=-1) <= min_members)
+    advance = (~converged) & (~empty)
+    status = jnp.where(
+        converged,
+        STATUS_CONVERGED,
+        jnp.where(empty, STATUS_EMPTY_CLUSTER, status_else),
+    )
+    return converged, empty, advance, status
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "reg_mode", "alpha", "method", "min_members"),
@@ -894,18 +915,13 @@ def train_em(
         new_assign = assignments_from_logliks(params.pi, ll)
         switches = jnp.sum(new_assign != assign)
         counts = counts_from_assign(new_assign, C)
-        converged = switches == 0
-        empty = (~converged) & (jnp.min(counts) <= min_members)
-        run_m = (~converged) & (~empty)
+        _conv, _empty, run_m, status_out = _em_termination(
+            switches, counts, STATUS_RUNNING, min_members=min_members
+        )
         new_params = mstep(
             z, x, new_assign, n_clusters=C, reg_mode=reg_mode, alpha=alpha
         )
         params_out = _tree_select(run_m, new_params, params)
-        status_out = jnp.where(
-            converged,
-            STATUS_CONVERGED,
-            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
-        )
         return (params_out, new_assign, i + 1, status_out)
 
     params_f, assign_f, iters, status = jax.lax.while_loop(
@@ -1002,16 +1018,11 @@ def train_em_sorted(
             interpret=interpret,
             v_sorted_t=v_t,
         )
-        converged = switches == 0
-        empty = (~converged) & (jnp.min(counts) <= min_members)
-        run_m = (~converged) & (~empty)
+        _conv, _empty, run_m, status_out = _em_termination(
+            switches, counts, STATUS_RUNNING, min_members=min_members
+        )
         new_params = _mstep(new_assign)
         params_out = _tree_select(run_m, new_params, params)
-        status_out = jnp.where(
-            converged,
-            STATUS_CONVERGED,
-            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
-        )
         return (params_out, new_assign, i + 1, status_out)
 
     params_f, assign_f, iters, status = jax.lax.while_loop(
@@ -1087,15 +1098,10 @@ def train_em_markov(
         new_params, new_assign, counts, switches = _emstep(
             params, assign, "argmax"
         )
-        converged = switches == 0
-        empty = (~converged) & (jnp.min(counts) <= min_members)
-        run_m = (~converged) & (~empty)
-        params_out = _tree_select(run_m, new_params, params)
-        status_out = jnp.where(
-            converged,
-            STATUS_CONVERGED,
-            jnp.where(empty, STATUS_EMPTY_CLUSTER, STATUS_RUNNING),
+        _conv, _empty, run_m, status_out = _em_termination(
+            switches, counts, STATUS_RUNNING, min_members=min_members
         )
+        params_out = _tree_select(run_m, new_params, params)
         return (params_out, new_assign, i + 1, status_out)
 
     params_f, assign_f, iters, status = jax.lax.while_loop(
@@ -1243,20 +1249,13 @@ def train_em_markov_multi(
             params, assign, "argmax"
         )
         running = status == STATUS_RUNNING  # (R,)
-        converged = running & (switches == 0)
-        empty = (
-            running
-            & ~converged
-            & (jnp.min(counts, axis=1) <= min_members)
+        _conv, _empty, adv_r, status_new = _em_termination(
+            switches, counts, status, min_members=min_members
         )
-        run_m = running & ~converged & ~empty
+        run_m = running & adv_r
         params_out = _tree_select_rows(run_m, new_params, params)
         assign_out = jnp.where(running[:, None], new_assign, assign)
-        status_out = jnp.where(
-            converged,
-            STATUS_CONVERGED,
-            jnp.where(empty, STATUS_EMPTY_CLUSTER, status),
-        )
+        status_out = jnp.where(running, status_new, status)
         return (
             params_out,
             assign_out,
@@ -1329,19 +1328,14 @@ def _pool_window(
         fp = force > 0
         active = (status == STATUS_RUNNING) & (iters < n_steps)
         stepped = active & ~fp  # a counted argmax iteration
-        converged = stepped & (switches == 0)
-        empty = (
-            stepped & ~converged & (jnp.min(counts, axis=1) <= min_members)
+        _conv, _empty, adv_r, status_new = _em_termination(
+            switches, counts, status, min_members=min_members
         )
-        advance = stepped & ~converged & ~empty
+        advance = stepped & adv_r
         take_new = (active & fp) | advance  # prev-M result or EM update
         params_out = _tree_select_rows(take_new, new_params, params)
         assigns_out = jnp.where(active[:, None], new_assign, assigns)
-        status_out = jnp.where(
-            converged,
-            STATUS_CONVERGED,
-            jnp.where(empty, STATUS_EMPTY_CLUSTER, status),
-        )
+        status_out = jnp.where(stepped, status_new, status)
         iters_out = iters + stepped.astype(jnp.int32)
         force_out = jnp.where(active & fp, 0, force)
         return (params_out, assigns_out, status_out, iters_out, force_out)
