@@ -1359,6 +1359,7 @@ def train_em_markov_pool(
     min_members: int = 3,
     sync_every: int = 8,
     u: jax.Array = None,
+    mesh=None,  # jax.sharding.Mesh with a "data" axis → data-parallel
 ) -> list:
     """Slot-pool multistart: train every candidate through R kernel
     slots, REFILLING a slot with the next candidate the moment its
@@ -1383,6 +1384,15 @@ def train_em_markov_pool(
     first-strictly-greater winner rule is unaffected.  Returns
     ``[(params, assign (n,), iters, status), ...]`` per candidate.
 
+    With ``mesh=`` (a ``jax.sharding.Mesh`` carrying a ``"data"`` axis)
+    the window runs data-parallel over the mesh — every device holds
+    all R slot parameter rows and its own trajectory shard, and each
+    iteration psums the per-restart statistics blocks exactly like
+    :func:`..parallel.sharded_em.train_em_markov_multi_shardmap`; the
+    host scheduling (refills, candidate order, winner rule) is
+    unchanged and results equal the single-device pool up to psum
+    reassociation (exact on the f64 test mesh).
+
     Reference protocol: mixture:1368-1471 (n_starts sequential fits).
     """
     import numpy as np
@@ -1396,10 +1406,45 @@ def train_em_markov_pool(
     R = max(1, min(R, n_cand))
     K = max(1, int(sync_every))
 
-    if u is None:
-        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-        u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+    if mesh is not None:
+        from multimodal_trajectory_modeling_tpu.parallel import sharded_em
+
+        window, n_state = sharded_em.pool_window_for_mesh(
+            z,
+            x,
+            lens,
+            mesh=mesh,
+            K=K,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=float(alpha),
+            min_members=min_members,
+            u=u,
+        )
+    else:
+        if u is None:
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+        n_state = n
+        lens_w, u_w = lens, u
+
+        def window(stack, assigns, status, iters, force):
+            return _pool_window(
+                stack,
+                assigns,
+                status,
+                iters,
+                force,
+                lens_w,
+                u_w,
+                T=T,
+                K=K,
+                n_steps=n_steps,
+                reg_mode=reg_mode,
+                alpha=float(alpha),
+                min_members=min_members,
+            )
 
     next_cand = 0
 
@@ -1428,7 +1473,7 @@ def train_em_markov_pool(
     stack = jax.tree.map(
         lambda *ps: jnp.stack(ps), *([params_list[0]] * R)
     )
-    assigns = jnp.zeros((R, n), jnp.int32)
+    assigns = jnp.full((R, n_state), -1, jnp.int32)  # pad lanes stay -1
     status = jnp.full((R,), STATUS_CONVERGED, jnp.int32)  # idle until fill
     iters = jnp.zeros((R,), jnp.int32)
     force = jnp.zeros((R,), jnp.int32)
@@ -1455,7 +1500,16 @@ def train_em_markov_pool(
         stack = jax.tree.map(
             lambda s, p: s.at[rj].set(p), stack, pstack
         )
-        assigns = assigns.at[rj].set(jnp.asarray(np.stack(take_assigns)))
+        a_rows = np.stack(take_assigns)
+        if n_state > n:  # mesh mode: pad lanes ride as -1 (kernel-ignored)
+            a_rows = np.concatenate(
+                [
+                    a_rows,
+                    np.full((len(take_rows), n_state - n), -1, np.int32),
+                ],
+                axis=1,
+            )
+        assigns = assigns.at[rj].set(jnp.asarray(a_rows))
         status = status.at[rj].set(STATUS_RUNNING)
         iters = iters.at[rj].set(0)
         force = force.at[rj].set(1)
@@ -1463,20 +1517,8 @@ def train_em_markov_pool(
     refill(list(range(R)))
 
     while any(c >= 0 for c in slot_cand):
-        stack, assigns, status, iters, force = _pool_window(
-            stack,
-            assigns,
-            status,
-            iters,
-            force,
-            lens,
-            u,
-            T=T,
-            K=K,
-            n_steps=n_steps,
-            reg_mode=reg_mode,
-            alpha=float(alpha),
-            min_members=min_members,
+        stack, assigns, status, iters, force = window(
+            stack, assigns, status, iters, force
         )
         status_h = np.asarray(status)
         iters_h = np.asarray(iters)
@@ -1492,7 +1534,7 @@ def train_em_markov_pool(
                 continue
             results[slot_cand[r]] = (
                 jax.tree.map(lambda q: q[r], stack),
-                np.asarray(assigns[r]),
+                np.asarray(assigns[r, :n]),
                 int(iters_h[r]),
                 int(status_h[r]),
             )

@@ -682,3 +682,222 @@ def train_em_markov_multi_shardmap(
         out_specs=(param_spec, P(None, axis), P(), P()),
         check_vma=False,
     )(params0, assign0, z, x, lens)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "T",
+        "d",
+        "l",
+        "n_true",
+        "K",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+    ),
+)
+def _pool_window_shardmap(
+    params,  # stacked (R-leading) MixtureParams — replicated
+    assigns,  # (R, n_pad) int32 — lanes sharded over "data"
+    status,  # (R,) int32 — replicated
+    iters,  # (R,) int32
+    force,  # (R,) int32
+    lens,  # (n_pad,) int32 — sharded (0 on pad lanes)
+    u,  # (T·s, n_pad) packed batch — lanes sharded
+    *,
+    mesh: Mesh,
+    T: int,
+    d: int,
+    l: int,
+    n_true: int,
+    K: int,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+):
+    """Data-parallel :func:`..models.em._pool_window`: K fused
+    multi-restart pool iterations in ONE dispatch with every lane-axis
+    reduction an explicit ``psum`` — the per-restart statistics block
+    ``g (R, F, C)``, membership counts ``(R, C)`` and switch counts
+    ``(R,)`` per iteration, exactly the
+    :func:`train_em_markov_multi_shardmap` communication pattern.  The
+    per-slot freeze/insert semantics (force_prev, capped iteration
+    counts) are replicated math on psummed scalars, so every shard
+    agrees bit-for-bit."""
+    from multimodal_trajectory_modeling_tpu.models.em import (
+        MixtureParams,
+        STATUS_RUNNING,
+        _em_termination,
+        _tree_select_rows,
+        _unpack_markov_em_stats,
+    )
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    axis = "data"
+    interpret = jax.devices()[0].platform not in ("tpu",)
+
+    def shard_fn(params, assigns_l, status, iters, force, lens_l, u_l):
+        # pad lanes must stay prev = -1 across passes: the kernel marks
+        # its OWN invalid-lane outputs with C (not -1), and unlike the
+        # single-device wrapper (which re-pads prev from a length-n
+        # vector every call) this state array round-trips through the
+        # kernel — without the mask a pad lane would turn "valid" on
+        # the second pass and poison counts/switches
+        w_l = assigns_l.shape[1]
+        lane0 = jax.lax.axis_index(axis) * w_l
+        validlane = (lane0 + jnp.arange(w_l)) < n_true  # (w_l,)
+
+        def emstep(params, prev, force_r):
+            Wg = jax.vmap(mops.markov_em_weights)(
+                params.m, params.S, params.A, params.G, params.H, params.L
+            )
+            Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
+            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed_multi(
+                u_l,
+                lens_l,
+                prev,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode="argmax",
+                force_prev=force_r,
+                interpret=interpret,
+            )
+            g = jax.lax.psum(g, axis)
+            c = jax.lax.psum(c, axis)
+            w = jax.lax.psum(w, axis)
+
+            def solve_one(g_r, c_r):
+                tstats, mstats, istats = _unpack_markov_em_stats(g_r, d, l)
+                pi = c_r.astype(g_r.dtype) / n_true
+                m0, S0 = rops.mean_cov_from_stats(istats)
+                A, G = rops.solve_regression(
+                    tstats, mode=reg_mode, alpha=alpha
+                )
+                H, L = rops.solve_regression(
+                    mstats, mode=reg_mode, alpha=alpha
+                )
+                return MixtureParams(pi, m0, S0, A, G, H, L)
+
+            return jax.vmap(solve_one)(g, c), a, c, w
+
+        def body(_k, state):
+            params, assigns_l, status, iters, force = state
+            new_params, new_assign, counts, switches = emstep(
+                params, assigns_l, force
+            )
+            fp = force > 0
+            active = (status == STATUS_RUNNING) & (iters < n_steps)
+            stepped = active & ~fp
+            _conv, _empty, adv_r, status_new = _em_termination(
+                switches, counts, status, min_members=min_members
+            )
+            advance = stepped & adv_r
+            take_new = (active & fp) | advance
+            params_out = _tree_select_rows(take_new, new_params, params)
+            assigns_out = jnp.where(
+                active[:, None] & validlane[None, :], new_assign, assigns_l
+            )
+            status_out = jnp.where(stepped, status_new, status)
+            iters_out = iters + stepped.astype(jnp.int32)
+            force_out = jnp.where(active & fp, 0, force)
+            return (params_out, assigns_out, status_out, iters_out, force_out)
+
+        return jax.lax.fori_loop(
+            0, K, body, (params, assigns_l, status, iters, force)
+        )
+
+    param_spec = jax.tree.map(lambda _: P(), params)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(None, "data"),
+            P(),
+            P(),
+            P(),
+            P("data"),
+            P(None, "data"),
+        ),
+        out_specs=(param_spec, P(None, "data"), P(), P(), P()),
+        check_vma=False,
+    )(params, assigns, status, iters, force, lens, u)
+
+
+def pool_window_for_mesh(
+    z,  # (T, n, d) NaN-suffix-padded
+    x,  # (T, n, l)
+    lens,  # (n,) int32
+    *,
+    mesh: Mesh,
+    K: int,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+    u=None,
+):
+    """Prepare the data-parallel pool window for
+    :func:`..models.em.train_em_markov_pool` ``mesh=`` mode: pad the
+    lane axis so every shard is a whole kernel block (2048 lanes), pack
+    (or re-pad) the batch, and return ``(window, lens_pad, u_pad,
+    n_state)`` where ``window(stack, assigns, status, iters, force)``
+    runs :func:`_pool_window_shardmap` over the mesh and ``n_state`` is
+    the padded lane count the host scheduler's state arrays must carry
+    (pad lanes ride as ``prev = -1``, ignored by the kernel)."""
+    import numpy as np
+
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    T, n, d = z.shape
+    l = x.shape[-1]
+    D = int(mesh.shape["data"])
+    quantum = 2048 * D
+    n_pad = ((n + quantum - 1) // quantum) * quantum
+    if u is None:
+        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+        u = pallas_markov.pack_markov_u(
+            z_tp, x_tp, T=T, d=d, l=l, pad_to=n_pad
+        )
+    elif u.shape[1] < n_pad:
+        u = jnp.concatenate(
+            [u, jnp.zeros((u.shape[0], n_pad - u.shape[1]), u.dtype)],
+            axis=1,
+        )
+    lens_pad = jnp.concatenate(
+        [
+            jnp.asarray(lens, jnp.int32),
+            jnp.zeros((n_pad - n,), jnp.int32),
+        ]
+    )
+
+    def window(stack, assigns, status, iters, force):
+        return _pool_window_shardmap(
+            stack,
+            assigns,
+            status,
+            iters,
+            force,
+            lens_pad,
+            u,
+            mesh=mesh,
+            T=T,
+            d=d,
+            l=l,
+            n_true=n,
+            K=K,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            min_members=min_members,
+        )
+
+    return window, n_pad

@@ -344,3 +344,71 @@ def test_markov_multi_shardmap_matches_unsharded(problem):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
         )
+
+
+def test_markov_pool_shardmap_matches_unsharded(problem):
+    """The data-parallel slot-pool multistart (mesh=) must return, for
+    every candidate, the same params/assignment/iters/status as the
+    single-device pool — refills, per-slot freeze and force_prev
+    semantics included (psum'd statistics are exact on the f64 mesh)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(31)
+    C = 3
+    z = np.asarray(problem["z"])
+    d, l = z.shape[-1], np.asarray(problem["x"]).shape[-1]
+    n = z.shape[1]
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+
+    def one_params():
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.asarray(np.stack([np.eye(d)] * C)),
+            A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+            G=jnp.asarray(np.stack([np.eye(d)] * C)),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.asarray(np.stack([np.eye(l)] * C)),
+        )
+
+    n_cand = 7
+    params_list = [one_params() for _ in range(n_cand)]
+    assign_list = [
+        rng.integers(0, C, size=n).astype(np.int32)
+        for _ in range(n_cand)
+    ]
+    kw = dict(R=3, n_steps=6, sync_every=2)
+    ref = em.train_em_markov_pool(
+        params_list, assign_list, problem["z"], problem["x"], lens, **kw
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = em.train_em_markov_pool(
+        params_list,
+        assign_list,
+        problem["z"],
+        problem["x"],
+        lens,
+        mesh=mesh,
+        **kw,
+    )
+    assert len(got) == n_cand
+    for i, ((pw, aw, iw, sw), (pg, ag, ig, sg)) in enumerate(
+        zip(ref, got)
+    ):
+        assert (int(sw), int(iw)) == (int(sg), int(ig)), i
+        np.testing.assert_array_equal(
+            np.asarray(aw), np.asarray(ag), err_msg=f"cand {i}"
+        )
+        for lw, lg in zip(
+            jax.tree_util.tree_leaves(pw),
+            jax.tree_util.tree_leaves(pg),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lg),
+                np.asarray(lw),
+                rtol=1e-12,
+                atol=1e-13,
+                err_msg=f"cand {i}",
+            )
