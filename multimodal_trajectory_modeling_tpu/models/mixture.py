@@ -995,6 +995,18 @@ class MMLinGaussSS_marginalizable:
                     u_pack = em.pack_markov_batch(
                         z_tp, x_tp, T=T0_, d=d_n, l=l_n
                     )
+                    # with >1 attached device and MTM_MULTICHIP=1 the
+                    # pool window runs data-parallel over a 1-D mesh
+                    # (per-restart stats psums ride ICI; host
+                    # scheduling and the winner rule are unchanged)
+                    pool_mesh = None
+                    if (
+                        os.environ.get("MTM_MULTICHIP") == "1"
+                        and len(jax.devices()) > 1
+                    ):
+                        pool_mesh = jax.sharding.Mesh(
+                            np.asarray(jax.devices()), ("data",)
+                        )
                     pooled = em.train_em_markov_pool(
                         [c._stacked_params() for c in candidates],
                         [
@@ -1008,7 +1020,8 @@ class MMLinGaussSS_marginalizable:
                         n_steps=n_steps,
                         reg_mode=reg_mode,
                         alpha=float(self.alpha),
-                        u=u_pack,
+                        u=u_pack,  # mesh mode re-pads to the shard quantum
+                        mesh=pool_mesh,
                     )
                     # objectives (Σ max scores = e_complete_data_log_lik
                     # under a fresh E) in R-sized kernel batches

@@ -412,3 +412,36 @@ def test_markov_pool_shardmap_matches_unsharded(problem):
                 atol=1e-13,
                 err_msg=f"cand {i}",
             )
+
+
+def test_mixture_multistart_multichip_matches_single(problem, monkeypatch):
+    """MTM_MULTICHIP=1 routes the mixture's fast multistart pool over a
+    data mesh; winner, assignments and objectives must equal the
+    single-device pool run (f64 mesh — psums exact here)."""
+    from multimodal_trajectory_modeling_tpu.models.mixture import (
+        MMLinGaussSS_marginalizable,
+    )
+
+    z = np.asarray(problem["z"])
+    x = np.asarray(problem["x"])
+
+    def run(multichip):
+        if multichip:
+            monkeypatch.setenv("MTM_MULTICHIP", "1")
+        else:
+            monkeypatch.delenv("MTM_MULTICHIP", raising=False)
+        np.random.seed(99)
+        mdl, objs = MMLinGaussSS_marginalizable(
+            n_clusters=3, states=z, observations=x, random_seed=5
+        ).train_with_multiple_random_starts(
+            n_starts=4,
+            use_cache=False,
+            fast=True,
+            return_objectives=True,
+        )
+        return np.asarray(mdl.cluster_assignment), np.asarray(objs)
+
+    a1, o1 = run(False)
+    a2, o2 = run(True)
+    np.testing.assert_array_equal(a2, a1)
+    np.testing.assert_allclose(o2, o1, rtol=1e-12)
