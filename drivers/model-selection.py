@@ -32,58 +32,80 @@ from multimodal_trajectory_modeling_tpu.models import (
 from multimodal_trajectory_modeling_tpu.utils import adni as data_adni
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
-plt.rcParams["figure.autolayout"] = True
-plt.rcParams["legend.loc"] = "upper right"
-plt.rcParams["font.family"] = "serif"
+plt.rcParams.update(
+    {
+        "figure.autolayout": True,
+        "legend.loc": "upper right",
+        "font.family": "serif",
+    }
+)
 
-alpha = 1.0
-n_cluster_list = range(1, 8)
+ALPHA = 1.0
+CLUSTER_COUNTS = range(1, 8)
+N_STARTS = 1000
+
+# y-axis label → model criterion method, one elbow figure each
+CRITERIA = {
+    "Expected complete data log likelihood": "e_complete_data_log_lik",
+    "AIC": "aic",
+    "BIC": "bic",
+}
+
+
+def _fit_sweep(z, x):
+    """One multistart-trained mixture per cluster count, cache-backed."""
+    fitted = []
+    for k in CLUSTER_COUNTS:
+        mix = MMLinGaussSS_marginalizable(
+            n_clusters=k,
+            states=z,
+            observations=x,
+            init="k-means",
+            alpha=ALPHA,
+        )
+        fitted.append(
+            mix.train_with_multiple_random_starts(
+                n_starts=N_STARTS, use_cache=True
+            )
+        )
+    return fitted
+
+
+def _elbow_figure(values, ylabel, out_pdf):
+    """Open-spine elbow plot of a criterion over the cluster counts."""
+    fig, ax = plt.subplots()
+    for side in ("right", "top"):
+        ax.spines[side].set_visible(False)
+    ax.plot(
+        CLUSTER_COUNTS, values, "o-", color="#0072CE", linestyle="solid"
+    )
+    plt.xticks(ticks=CLUSTER_COUNTS, labels=CLUSTER_COUNTS)
+    ax.set_xlabel("Number of clusters")
+    ax.set_ylabel(ylabel)
+    plt.tight_layout()
+    plt.savefig(out_pdf, bbox_inches="tight", transparent=True)
+    plt.close(fig)
 
 
 def main():
-    ztrain_orig, xtrain, *_ = data_adni.get_trajectories()
-    ztrain, std_param = util.standardize(ztrain_orig, return_params=True)
+    z_raw, x, *_ = data_adni.get_trajectories()
+    z, _std = util.standardize(z_raw, return_params=True)
 
-    mdls = [
-        MMLinGaussSS_marginalizable(
-            n_clusters=n_clusters,
-            states=ztrain,
-            observations=xtrain,
-            init="k-means",
-            alpha=alpha,
-        ).train_with_multiple_random_starts(n_starts=1000, use_cache=True)
-        for n_clusters in n_cluster_list
-    ]
+    models = _fit_sweep(z, x)
 
-    criteria = {
-        "Expected complete data log likelihood": "e_complete_data_log_lik",
-        "AIC": "aic",
-        "BIC": "bic",
-    }
     os.makedirs("figures", exist_ok=True)
-    for label, attr in criteria.items():
-        fig, ax = plt.subplots()
-        ax.spines["right"].set_visible(False)
-        ax.spines["top"].set_visible(False)
+    for label, attr in CRITERIA.items():
         values = [
-            getattr(m, attr)(states=ztrain, observations=xtrain)
-            for m in mdls
+            getattr(m, attr)(states=z, observations=x) for m in models
         ]
-        ax.plot(
-            n_cluster_list, values, "o-", color="#0072CE", linestyle="solid"
-        )
-        plt.xticks(ticks=n_cluster_list, labels=n_cluster_list)
-        ax.set_xlabel("Number of clusters")
-        ax.set_ylabel(label)
-        plt.tight_layout()
-        plt.savefig(
+        _elbow_figure(
+            values,
+            label,
             os.path.join("figures", f"ADNI_elbow_plot_{attr.upper()}.pdf"),
-            bbox_inches="tight",
-            transparent=True,
         )
         print(f"{label}: {[round(float(vv), 1) for vv in values]}")
 
-    for m in mdls:
+    for m in models:
         m.to_pickle()
 
 

@@ -19,9 +19,13 @@ import pandas as pd
 
 pd.options.display.float_format = "{:,.3f}".format
 
-plt.rcParams["figure.autolayout"] = True
-plt.rcParams["legend.loc"] = "upper right"
-plt.rcParams["font.family"] = "serif"
+plt.rcParams.update(
+    {
+        "figure.autolayout": True,
+        "legend.loc": "upper right",
+        "font.family": "serif",
+    }
+)
 
 name = "ADNI"
 
@@ -39,13 +43,17 @@ cluster_colors = (
     "#4E5B31",
 )
 
-diagnosis_colors = tuple(
-    np.array(plt.colormaps["cividis"].reversed().colors)[
-        np.linspace(
-            0, plt.colormaps["cividis"].N - 1, len(diagnosis_list)
-        ).astype(int)
-    ]
-)
+_CLUSTER_MARKERS = ("o", "v", "^", "s", "+", "x")
+
+
+def _cividis_shades(k: int) -> tuple:
+    """k colors evenly spaced along reversed cividis."""
+    cmap = plt.colormaps["cividis"].reversed()
+    idx = np.linspace(0, plt.colormaps["cividis"].N - 1, k).astype(int)
+    return tuple(np.array(cmap.colors)[idx])
+
+
+diagnosis_colors = _cividis_shades(len(diagnosis_list))
 
 _DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
@@ -70,21 +78,48 @@ def get_trajectories(
     npz = np.load(
         os.path.join(_DATA_DIR, "adni-trajectories.npz"), allow_pickle=True
     )
-    z, x, d, ids, time, mmse, age = (
-        npz[k] for k in ["z", "x", "d", "ids", "time", "mmse", "age"]
-    )
-    if return_mmse and return_approx_age:
-        return z, x, d, ids, time, mmse, age
-    if return_mmse:
-        return z, x, d, ids, time, mmse
-    return z, x, d, ids, time
+    fields = ["z", "x", "d", "ids", "time"]
+    if return_mmse or return_approx_age:
+        fields.append("mmse")
+    if return_approx_age:
+        fields.append("age")
+    return tuple(npz[k] for k in fields)
 
 
 def return_profiling_dataframe(ids) -> pd.DataFrame:
     """Demographics/outcome table indexed by RID (reference :398-406)."""
-    return pd.read_csv(
-        os.path.join(_DATA_DIR, "adni-profiling.csv"), index_col="RID"
-    ).loc[np.asarray(ids).ravel()]
+    csv = os.path.join(_DATA_DIR, "adni-profiling.csv")
+    return pd.read_csv(csv, index_col="RID").loc[np.asarray(ids).ravel()]
+
+
+def _prevalence_table(key_name, keys, overall, within) -> pd.DataFrame:
+    """Assemble the two-level prevalence table both outcome printers use:
+    one row per key = (key, overall share, per-diagnosis values)."""
+    head = [("", key_name), ("overall", "prevalence")]
+    head += [("within-cluster", dx) for dx in diagnosis_list]
+    records = [
+        (k, o, *w) for k, o, w in zip(keys, overall, within)
+    ]
+    return pd.DataFrame.from_records(
+        records, columns=pd.MultiIndex.from_tuples(head)
+    ).fillna("---")
+
+
+def _open_axes():
+    """A fresh figure whose top/right spines are hidden."""
+    fig, ax = plt.subplots()
+    for side in ("right", "top"):
+        ax.spines[side].set_visible(False)
+    return fig, ax
+
+
+# style blocks for the trajectory quiver/scatter marks
+# (reference util_adni.py:84-239 — the rendered output is the contract)
+_ARROW_STYLE = dict(
+    linestyle="solid", units="xy", angles="xy", scale_units="xy",
+    scale=1, headwidth=5, headlength=7, headaxislength=6, alpha=0.5,
+)
+_POINT_STYLE = dict(s=2, alpha=0.6667)
 
 
 def plot_2d_trajectories(
@@ -113,18 +148,15 @@ def plot_2d_trajectories(
         inferred_clusters = np.array(
             [model.correspondence[c] for c in model.cluster_assignment]
         )
-    n_clusters = (
-        len(set(inferred_clusters) & set(string.ascii_letters))
-        if model is None
-        else model.n_clusters
-    )
+    if model is None:
+        n_clusters = len(set(inferred_clusters) & set(string.ascii_letters))
+    else:
+        n_clusters = model.n_clusters
     c_labels = cluster_ordering or string.ascii_uppercase[:n_clusters]
     assert states.ndim == 3 and states.shape[-1] == 2
     assert states.shape[1] == len(inferred_clusters)
 
-    fig, ax = plt.subplots()
-    ax.spines["right"].set_visible(False)
-    ax.spines["top"].set_visible(False)
+    fig, ax = _open_axes()
 
     def _shade(base, intens):
         return [
@@ -136,60 +168,36 @@ def plot_2d_trajectories(
         sel = inferred_clusters == c
         if sel.sum() == 0:
             continue
-        x0 = states[:-1, sel, 0].ravel()
-        y0 = states[:-1, sel, 1].ravel()
-        dx = np.diff(states[:, sel, 0], axis=0).ravel()
-        dy = np.diff(states[:, sel, 1], axis=0).ravel()
+        x0, y0 = (states[:-1, sel, j].ravel() for j in (0, 1))
+        dx, dy = (
+            np.diff(states[:, sel, j], axis=0).ravel() for j in (0, 1)
+        )
         assert len(x0) == len(y0) == len(dx) == len(dy)
+        arrow_color = point_color = cluster_colors[i]
         if intensities is not None:
             w0 = np.tile(intensities[sel], (1, states.shape[0] - 1)).ravel()
             wall = np.tile(intensities[sel], (1, states.shape[0])).ravel()
         keep = functools.reduce(
             np.logical_and, map(np.isfinite, [x0, y0, dx, dy])
         )
+        if intensities is not None:
+            arrow_color = _shade(cluster_colors[i], w0[keep])
+            point_color = _shade(cluster_colors[i], wall)
         ax.quiver(
-            x0[keep],
-            y0[keep],
-            dx[keep],
-            dy[keep],
-            color=(
-                _shade(cluster_colors[i], w0[keep])
-                if intensities is not None
-                else cluster_colors[i]
-            ),
-            linestyle="solid",
-            units="xy",
-            angles="xy",
-            scale_units="xy",
-            scale=1,
-            width=arrow_width,
-            headwidth=5,
-            headlength=7,
-            headaxislength=6,
-            zorder=-i,
-            alpha=0.5,
+            x0[keep], y0[keep], dx[keep], dy[keep],
+            color=arrow_color, width=arrow_width, zorder=-i, **_ARROW_STYLE,
         )
         ax.scatter(
-            states[:, sel, 0].ravel(),
-            states[:, sel, 1].ravel(),
-            c=(
-                _shade(cluster_colors[i], wall)
-                if intensities is not None
-                else cluster_colors[i]
-            ),
-            marker=("o", "v", "^", "s", "+", "x")[i],
+            states[:, sel, 0].ravel(), states[:, sel, 1].ravel(),
+            c=point_color, marker=_CLUSTER_MARKERS[i],
             label=f"cluster {c}" if cluster_ordering is None else c,
-            s=2,
-            alpha=0.6667,
+            **_POINT_STYLE,
         )
     handles, labels = ax.get_legend_handles_labels()
     uniq = dict(zip(labels, handles))
     ax.legend(
-        uniq.values(),
-        uniq.keys(),
-        fontsize="large",
-        bbox_to_anchor=(1.3, 1),
-        markerscale=3,
+        uniq.values(), uniq.keys(),
+        fontsize="large", bbox_to_anchor=(1.3, 1), markerscale=3,
     )
     if title:
         plt.title(title)
@@ -210,27 +218,15 @@ def get_outcomes_by_cluster(
 ) -> None:
     """Print cluster-vs-outcome prevalence table (reference :242-300)."""
     assert final_diagnoses.size == cluster_assignments.size
-    rows = []
-    for c in string.ascii_uppercase[: model.n_clusters]:
+    labels = string.ascii_uppercase[: model.n_clusters]
+    overall, within = [], []
+    for c in labels:
         sel = cluster_assignments == model.inverse_correspondence[c]
-        rows.append(
-            (
-                c,
-                np.mean(sel),
-                *[np.mean(final_diagnoses[sel] == d) for d in diagnosis_list],
-            )
+        overall.append(np.mean(sel))
+        within.append(
+            [np.mean(final_diagnoses[sel] == dx) for dx in diagnosis_list]
         )
-    tbl = pd.DataFrame.from_records(
-        rows,
-        columns=pd.MultiIndex.from_tuples(
-            [
-                ("", "cluster"),
-                ("overall", "prevalence"),
-                *[("within-cluster", d) for d in diagnosis_list],
-            ]
-        ),
-    ).fillna("---")
-    print(tbl)
+    print(_prevalence_table("cluster", labels, overall, within))
 
 
 def generate_outcome_table(model, diagnoses: np.ndarray) -> None:
@@ -274,27 +270,19 @@ def _summary_stats() -> None:
         .loc[diagnosis_list]
     )
 
-    rows = []
-    for ell in sorted(set(length)):
-        rows.append(
-            (
-                ell,
-                np.mean(length == ell),
-                *[np.sum(finals[length == ell] == dx) for dx in diagnosis_list],
-            )
-        )
-    tbl = pd.DataFrame.from_records(
-        rows,
-        columns=pd.MultiIndex.from_tuples(
-            [
-                ("", "length"),
-                ("overall", "prevalence"),
-                *[("within-cluster", dx) for dx in diagnosis_list],
-            ]
-        ),
-    ).fillna("---")
+    ells = sorted(set(length))
     print("Diagnoses by length|".ljust(79, "-"))
-    print(tbl)
+    print(
+        _prevalence_table(
+            "length",
+            ells,
+            [np.mean(length == ell) for ell in ells],
+            [
+                [np.sum(finals[length == ell] == dx) for dx in diagnosis_list]
+                for ell in ells
+            ],
+        )
+    )
 
     init = pd.DataFrame(
         data={
