@@ -8,7 +8,9 @@ LG-SSM mixture (1000 starts, cached), relabel clusters by AD rate, score the
 held-out fold under the full / snapshot / no-hidden / initial-visit input
 variants, fit the supervised SSM classifier, fit a t=0 GaussianMixture
 baseline, and write the results CSVs + posterior CSVs + per-fold train
-tables used by the collate driver and the post-hoc stage.
+tables used by the collate driver and the post-hoc stage.  The fold body
+is decomposed into helpers here; every emitted artifact is byte-identical
+to the previous in-line structure.
 """
 
 import gzip
@@ -49,20 +51,187 @@ from multimodal_trajectory_modeling_tpu.models.linear_gaussian import (
 from multimodal_trajectory_modeling_tpu.utils import adni as data
 from multimodal_trajectory_modeling_tpu.utils import state_space as ssu
 
-n_splits, n_clusters = 10, 4
-alpha = 1.0
-n_starts = int(os.environ.get("MTM_N_RESTARTS", "1000"))
+N_SPLITS = 10
+N_CLUSTERS = 4
+ALPHA = 1.0
+N_STARTS = int(os.environ.get("MTM_N_RESTARTS", "1000"))
+
+CLUSTER_LETTERS = string.ascii_uppercase[:N_CLUSTERS]
 
 
 def _letters(mdl, assignments):
+    """Integer cluster ids → harmonized letters via the correspondence."""
     return np.array([mdl.correspondence[c] for c in assignments])
 
 
 def _ordered_cluster_indices(mdl):
-    return [
-        mdl.inverse_correspondence[s]
-        for s in string.ascii_uppercase[:n_clusters]
+    """Integer cluster ids in A, B, C, ... letter order."""
+    return [mdl.inverse_correspondence[s] for s in CLUSTER_LETTERS]
+
+
+def _empty_results_frame(ids, time, d):
+    """(id, time)-indexed frame holding every per-visit prediction column."""
+    idx = pd.MultiIndex.from_arrays(
+        [np.vstack(list(ids)).flatten(), np.vstack(list(time)).flatten()],
+        names=["id", "time"],
+    )
+    cols = [
+        "split",
+        "our_cluster",
+        "our_cluster_snapshots",
+        "our_cluster_snapshots_no_hidden",
+        "our_cluster_no_hidden",
     ]
+    frame = pd.DataFrame(index=idx, columns=cols)
+    return frame.assign(diagnosis=np.vstack(list(d)).flatten())
+
+
+def _standardized_split(mtrain, mtest, z_dim):
+    """Standardize the hidden block on train stats; apply to test."""
+    tr, te = mtrain.copy(), mtest.copy()
+    tr[:, :, :z_dim], std_params = ssu.standardize(
+        tr[:, :, :z_dim], return_params=True
+    )
+    te[:, :, :z_dim] = ssu.standardize(te[:, :, :z_dim], params=std_params)
+    return tr, te
+
+
+def _fit_fold_mixture(mtrain_ours, z_dim, dtrain):
+    """Multistart-fit the fold's mixture and harmonize its labels."""
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=N_CLUSTERS,
+        states=mtrain_ours[:, :, :z_dim],
+        observations=mtrain_ours[:, :, z_dim:],
+        init="k-means",
+        alpha=ALPHA,
+    ).train_with_multiple_random_starts(n_starts=N_STARTS, use_cache=True)
+    data.set_model_correspondence(mdl, dtrain)
+    mdl.to_pickle()
+    return mdl
+
+
+def _heldout_variants(mdl, mtest_ours, z_dim):
+    """Score the held-out fold under every input-degradation variant the
+    collate stage tabulates (reference xval:150-265): full trajectories,
+    per-visit snapshots, observation-only, and initial-visit-only."""
+    zt, xt = mtest_ours[:, :, :z_dim], mtest_ours[:, :, z_dim:]
+    out = {}
+
+    assignments, probs, prenorm = mdl.mle_cluster_assignment(
+        states=zt,
+        observations=xt,
+        return_probs=True,
+        return_prenormalized_log_probs=True,
+    )
+    order = _ordered_cluster_indices(mdl)
+    out["our_cluster"] = _letters(mdl, assignments)
+    out["prob_c_all"] = prenorm[assignments, np.arange(assignments.size)]
+    out["posterior"] = probs[order].T
+    out["our_index"] = mdl.cluster_assignment_index(
+        states=zt, observations=xt
+    )
+
+    _, probs0 = mdl.mle_cluster_assignment(
+        states=ssu.mask_all_but_time_i(zt, 0),
+        observations=ssu.mask_all_but_time_i(xt, 0),
+        return_probs=True,
+    )
+    out["init_posterior"] = probs0[order].T
+
+    z_parc, x_parc = ssu.parcellate_arrays(zt, xt)
+    out["our_cluster_snapshots"] = _letters(
+        mdl, mdl.mle_cluster_assignment(states=z_parc, observations=x_parc)
+    )
+    out["our_index_snapshots"] = mdl.cluster_assignment_index(
+        states=z_parc, observations=x_parc
+    )
+    out["our_cluster_snapshots_no_hidden"] = _letters(
+        mdl,
+        mdl.mle_cluster_assignment(
+            states=np.nan * np.ones_like(z_parc), observations=x_parc
+        ),
+    )
+
+    z_blank = np.full_like(zt, np.nan)
+    out["our_cluster_no_hidden"] = _letters(
+        mdl, mdl.mle_cluster_assignment(states=z_blank, observations=xt)
+    )
+    out["our_index_no_hidden"] = mdl.cluster_assignment_index(
+        states=z_blank, observations=xt
+    )
+    out["our_index_no_hidden_init"] = mdl.cluster_assignment_index(
+        states=ssu.mask_all_but_time_i(z_blank, 0),
+        observations=ssu.mask_all_but_time_i(xt, 0),
+    )
+    return out
+
+
+def _gmm_baseline(ztrain, xtrain, ztest, xtest, dtrain):
+    """t=0 GaussianMixture baseline with AD-rate label harmonization
+    (reference xval:272-318)."""
+    gmm = skl_mix.GaussianMixture(
+        n_components=N_CLUSTERS,
+        covariance_type="full",
+        max_iter=1000,
+        init_params="kmeans",
+        random_state=42,
+    )
+    t0_train = np.concatenate([ztrain, xtrain], axis=-1)[0]
+    t0_test = np.concatenate([ztest, xtest], axis=-1)[0]
+    raw_train = gmm.fit_predict(t0_train)
+
+    finals = data.get_final_diagnoses(dtrain)
+    ad_rate = [
+        np.mean(finals[raw_train == c] == "AD") for c in range(N_CLUSTERS)
+    ]
+    relabel = dict(zip(np.argsort(ad_rate), string.ascii_uppercase))
+
+    train_preds = np.array([relabel[p] for p in raw_train])
+    test_preds = np.array([relabel[p] for p in gmm.predict(t0_test)])
+    letter_order = sorted(relabel.keys(), key=relabel.__getitem__)
+    test_proba = gmm.predict_proba(t0_test)[:, letter_order]
+    return train_preds, test_preds, test_proba
+
+
+def _fold_train_table(idtrain, timetrain, dtrain, ctrain, gmm_train_preds):
+    """Per-fold training table consumed by the collate driver."""
+    tbl = pd.DataFrame(
+        data={
+            "idx": idtrain.ravel(),
+            "time": timetrain.ravel(),
+            "diagnosis": dtrain.ravel(),
+        }
+    ).set_index("idx")
+    ours = dict(zip(idtrain[0].ravel(), ctrain.ravel()))
+    tbl["our_cluster"] = tbl.index.to_series().map(ours)
+    gmm = dict(zip(idtrain[0].ravel(), gmm_train_preds.ravel()))
+    tbl["gmm_init"] = tbl.index.to_series().map(gmm)
+    return tbl
+
+
+def _write_artifacts(
+    df_results, df_posterior, df_init_post, df_gmm, dict_training_results
+):
+    os.makedirs("results", exist_ok=True)
+    os.makedirs(os.path.join("posthoc", "results"), exist_ok=True)
+
+    stem = f"ADNI_r7_xval{N_SPLITS}_{N_CLUSTERS}clusters"
+    df_results.astype({"split": int}).to_csv(
+        os.path.join("results", f"{stem}_results.csv")
+    )
+    posthoc_dir = os.path.join("posthoc", "results")
+    for frame, tag in [
+        (df_posterior, "mtm_post"),
+        (df_init_post, "mtm_init_post"),
+        (df_gmm, "gmm_init_post"),
+    ]:
+        frame.to_csv(
+            os.path.join(posthoc_dir, f"{stem}_{tag}.csv"), index_label="id"
+        )
+    with gzip.open(
+        os.path.join("results", f"{stem}_results.p.gz"), "wb"
+    ) as f:
+        pickle.dump(dict_training_results, f)
 
 
 def main():
@@ -70,210 +239,61 @@ def main():
     z_dim = z.shape[-1]
     markers = np.concatenate([z, x], axis=-1)
 
-    df_results = pd.DataFrame(
-        index=pd.MultiIndex.from_arrays(
-            [np.vstack(list(ids)).flatten(), np.vstack(list(time)).flatten()],
-            names=["id", "time"],
-        ),
-        columns=[
-            "split",
-            "our_cluster",
-            "our_cluster_snapshots",
-            "our_cluster_snapshots_no_hidden",
-            "our_cluster_no_hidden",
-        ],
-    ).assign(diagnosis=np.vstack(list(d)).flatten())
-
-    post_cols = ["prob_" + s for s in string.ascii_uppercase[:n_clusters]]
+    df_results = _empty_results_frame(ids, time, d)
+    post_cols = ["prob_" + s for s in CLUSTER_LETTERS]
     df_posterior = pd.DataFrame(index=ids[0].ravel(), columns=post_cols)
     df_init_post = df_posterior.copy()
     df_gmm = pd.DataFrame(index=ids[0].ravel(), columns=post_cols)
-
     dict_training_results = dict()
 
     splitter = skl_mdl_sel.KFold(
-        n_splits=n_splits, shuffle=True, random_state=42
+        n_splits=N_SPLITS, shuffle=True, random_state=42
     )
-    for i_split, (train_mask, test_mask) in tq.tqdm(
+    folds = tq.tqdm(
         enumerate(splitter.split(ids[0].ravel())),
-        total=n_splits,
+        total=N_SPLITS,
         desc="folds",
         position=1,
-    ):
-        dtrain, idtrain, timetrain = (
-            d[:, train_mask],
-            ids[:, train_mask],
-            time[:, train_mask],
+    )
+    for i_split, (train_mask, test_mask) in folds:
+        dtrain, idtrain, timetrain, mtrain, ztrain, xtrain = (
+            a[:, train_mask] for a in (d, ids, time, markers, z, x)
         )
-        dtest, idtest, timetest = (
-            d[:, test_mask],
-            ids[:, test_mask],
-            time[:, test_mask],
+        dtest, idtest, timetest, mtest, ztest, xtest = (
+            a[:, test_mask] for a in (d, ids, time, markers, z, x)
         )
-        mtrain, mtest = markers[:, train_mask], markers[:, test_mask]
-        ztrain, xtrain = z[:, train_mask], x[:, train_mask]
-        ztest, xtest = z[:, test_mask], x[:, test_mask]
 
+        heldout_ids = idtest.ravel().tolist()
         df_results.loc[
-            lambda df: df.index.get_level_values("id").isin(
-                idtest.ravel().tolist()
-            ),
+            lambda df: df.index.get_level_values("id").isin(heldout_ids),
             "split",
         ] = i_split
 
-        # --- our mixture model -----------------------------------------
-        mtrain_ours = mtrain.copy()
-        mtrain_ours[:, :, :z_dim], std_params = ssu.standardize(
-            mtrain_ours[:, :, :z_dim], return_params=True
-        )
-        mtest_ours = mtest.copy()
-        mtest_ours[:, :, :z_dim] = ssu.standardize(
-            mtest_ours[:, :, :z_dim], params=std_params
-        )
-
-        best_mdl = MMLinGaussSS_marginalizable(
-            n_clusters=n_clusters,
-            states=mtrain_ours[:, :, :z_dim],
-            observations=mtrain_ours[:, :, z_dim:],
-            init="k-means",
-            alpha=alpha,
-        ).train_with_multiple_random_starts(
-            n_starts=n_starts, use_cache=True
-        )
-        data.set_model_correspondence(best_mdl, dtrain)
-        best_mdl.to_pickle()
-
+        mtrain_ours, mtest_ours = _standardized_split(mtrain, mtest, z_dim)
+        best_mdl = _fit_fold_mixture(mtrain_ours, z_dim, dtrain)
         ctrain = _letters(best_mdl, best_mdl.mle_cluster_assignment())
 
-        assignments, probs, prenorm = best_mdl.mle_cluster_assignment(
-            states=mtest_ours[:, :, :z_dim],
-            observations=mtest_ours[:, :, z_dim:],
-            return_probs=True,
-            return_prenormalized_log_probs=True,
-        )
-        ctest_all = _letters(best_mdl, assignments)
-        df_posterior.loc[idtest[0].ravel()] = probs[
-            _ordered_cluster_indices(best_mdl)
-        ].T
+        fold = _heldout_variants(best_mdl, mtest_ours, z_dim)
+        df_posterior.loc[idtest[0].ravel()] = fold["posterior"]
+        df_init_post.loc[idtest[0].ravel()] = fold["init_posterior"]
 
-        _, probs0 = best_mdl.mle_cluster_assignment(
-            states=ssu.mask_all_but_time_i(mtest_ours[..., :z_dim], 0),
-            observations=ssu.mask_all_but_time_i(mtest_ours[..., z_dim:], 0),
-            return_probs=True,
-        )
-        df_init_post.loc[idtest[0].ravel()] = probs0[
-            _ordered_cluster_indices(best_mdl)
-        ].T
-
-        prob_c_all = prenorm[assignments, np.arange(assignments.size)]
-        indextest_all = best_mdl.cluster_assignment_index(
-            states=mtest_ours[:, :, :z_dim],
-            observations=mtest_ours[:, :, z_dim:],
-        )
-
-        z_parc, x_parc = ssu.parcellate_arrays(
-            mtest_ours[:, :, :z_dim], mtest_ours[:, :, z_dim:]
-        )
-        ctest_snapshots = _letters(
-            best_mdl,
-            best_mdl.mle_cluster_assignment(
-                states=z_parc, observations=x_parc
-            ),
-        )
-        indextest_snapshots = best_mdl.cluster_assignment_index(
-            states=z_parc, observations=x_parc
-        )
-        ctest_snapshot_x = _letters(
-            best_mdl,
-            best_mdl.mle_cluster_assignment(
-                states=np.nan * np.ones_like(z_parc), observations=x_parc
-            ),
-        )
-
-        mtest_no_hidden = mtest_ours.copy()
-        mtest_no_hidden[:, :, :z_dim] = np.nan
-        ctest_no_hidden = _letters(
-            best_mdl,
-            best_mdl.mle_cluster_assignment(
-                states=mtest_no_hidden[:, :, :z_dim],
-                observations=mtest_no_hidden[:, :, z_dim:],
-            ),
-        )
-        indextest_no_hidden = best_mdl.cluster_assignment_index(
-            states=mtest_no_hidden[:, :, :z_dim],
-            observations=mtest_no_hidden[:, :, z_dim:],
-        )
-        indextest_no_hidden_init = best_mdl.cluster_assignment_index(
-            states=ssu.mask_all_but_time_i(mtest_no_hidden[:, :, :z_dim], 0),
-            observations=ssu.mask_all_but_time_i(
-                mtest_no_hidden[:, :, z_dim:], 0
-            ),
-        )
-
-        # --- supervised classifier -------------------------------------
         clssfr = StateSpaceModelClassifier(
             component_model=StateSpaceLinearGaussian
         ).fit(
             data=(mtrain_ours[:, :, :z_dim], mtrain_ours[:, :, z_dim:]),
             labels=data.get_final_diagnoses(dtrain),
         )
-        c_sprvsd = clssfr.predict(
+        fold["supervised_classifier_predictions"] = clssfr.predict(
             data=(mtest_ours[:, :, :z_dim], mtest_ours[:, :, z_dim:])
         )
 
-        # --- GaussianMixture baseline on t=0 ---------------------------
-        gmm_init = skl_mix.GaussianMixture(
-            n_components=n_clusters,
-            covariance_type="full",
-            max_iter=1000,
-            init_params="kmeans",
-            random_state=42,
+        gmm_train_preds, gmm_test_preds, gmm_proba = _gmm_baseline(
+            ztrain, xtrain, ztest, xtest, dtrain
         )
-        gmm_train_raw = gmm_init.fit_predict(
-            np.concatenate([ztrain, xtrain], axis=-1)[0]
-        )
-        gmm_corr = dict(
-            zip(
-                np.argsort(
-                    [
-                        np.mean(
-                            data.get_final_diagnoses(dtrain)[
-                                gmm_train_raw == c
-                            ]
-                            == "AD"
-                        )
-                        for c in range(n_clusters)
-                    ]
-                ),
-                string.ascii_uppercase,
-            )
-        )
-        gmm_train_preds = np.array([gmm_corr[p] for p in gmm_train_raw])
-        gmm_test_preds = np.array(
-            [
-                gmm_corr[p]
-                for p in gmm_init.predict(
-                    np.concatenate([ztest, xtest], axis=-1)[0]
-                )
-            ]
-        )
-        df_gmm.loc[idtest[0].ravel()] = gmm_init.predict_proba(
-            np.concatenate([ztest, xtest], axis=-1)[0]
-        )[:, sorted(gmm_corr.keys(), key=gmm_corr.__getitem__)]
+        fold["gmm_init_predictions"] = gmm_test_preds
+        df_gmm.loc[idtest[0].ravel()] = gmm_proba
 
-        # --- store fold results ----------------------------------------
-        df_train = pd.DataFrame(
-            data={
-                "idx": idtrain.ravel(),
-                "time": timetrain.ravel(),
-                "diagnosis": dtrain.ravel(),
-            }
-        ).set_index("idx")
-        train_lookup = dict(zip(idtrain[0].ravel(), ctrain.ravel()))
-        df_train["our_cluster"] = df_train.index.to_series().map(train_lookup)
-        gmm_lookup = dict(zip(idtrain[0].ravel(), gmm_train_preds.ravel()))
-        df_train["gmm_init"] = df_train.index.to_series().map(gmm_lookup)
-
+        # scatter the per-instance variants into the (id, time) frame
         test_rows = df_results.split == i_split
 
         def put(col, values):
@@ -286,52 +306,41 @@ def main():
                 .values
             )
 
-        put("our_cluster", ctest_all)
-        put("prob_c_all", prob_c_all)
-        put("our_index", indextest_all)
-        put("our_cluster_no_hidden", ctest_no_hidden)
-        put("our_index_no_hidden", indextest_no_hidden)
-        put("our_index_no_hidden_init", indextest_no_hidden_init)
-        put("supervised_classifier_predictions", c_sprvsd)
-        put("gmm_init_predictions", gmm_test_preds)
+        for col in (
+            "our_cluster",
+            "prob_c_all",
+            "our_index",
+            "our_cluster_no_hidden",
+            "our_index_no_hidden",
+            "our_index_no_hidden_init",
+            "supervised_classifier_predictions",
+            "gmm_init_predictions",
+        ):
+            put(col, fold[col])
 
+        # snapshot variants index by (id, visit time) directly
         snap_index = list(
             zip(
                 np.tile(idtest.ravel(), np.max(timetest) + 1),
                 np.ravel(timetest),
             )
         )
-        df_results.loc[snap_index, "our_cluster_snapshots"] = ctest_snapshots
-        df_results.loc[snap_index, "our_index_snapshots"] = indextest_snapshots
-        df_results.loc[snap_index, "our_cluster_snapshots_no_hidden"] = (
-            ctest_snapshot_x
-        )
+        for col in (
+            "our_cluster_snapshots",
+            "our_index_snapshots",
+            "our_cluster_snapshots_no_hidden",
+        ):
+            df_results.loc[snap_index, col] = fold[col]
 
-        dict_training_results |= {i_split: df_train}
+        dict_training_results |= {
+            i_split: _fold_train_table(
+                idtrain, timetrain, dtrain, ctrain, gmm_train_preds
+            )
+        }
 
-    os.makedirs("results", exist_ok=True)
-    os.makedirs(os.path.join("posthoc", "results"), exist_ok=True)
-
-    stem = f"ADNI_r7_xval{n_splits}_{n_clusters}clusters"
-    df_results.astype({"split": int}).to_csv(
-        os.path.join("results", f"{stem}_results.csv")
+    _write_artifacts(
+        df_results, df_posterior, df_init_post, df_gmm, dict_training_results
     )
-    df_posterior.to_csv(
-        os.path.join("posthoc", "results", f"{stem}_mtm_post.csv"),
-        index_label="id",
-    )
-    df_init_post.to_csv(
-        os.path.join("posthoc", "results", f"{stem}_mtm_init_post.csv"),
-        index_label="id",
-    )
-    df_gmm.to_csv(
-        os.path.join("posthoc", "results", f"{stem}_gmm_init_post.csv"),
-        index_label="id",
-    )
-    with gzip.open(
-        os.path.join("results", f"{stem}_results.p.gz"), "wb"
-    ) as f:
-        pickle.dump(dict_training_results, f)
 
 
 if __name__ == "__main__":
