@@ -337,45 +337,34 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
                 )
                 assert self.hex_hash == best_mdl.hex_hash
                 if verbose:
-                    print(f"Loaded model {best_mdl.last_trained=} from cache.")
+                    print(f"cache hit: {best_mdl.last_trained=}")
                 return best_mdl
             except IndexError:
                 if verbose:
-                    print("No model found in cache.")
+                    print("cache miss: no pickle for this hash")
             except AssertionError:
                 if verbose:
-                    print(
-                        "Model found in cache does not match our requirements."
-                    )
+                    print("cache entry rejected: hash mismatch")
             except Exception as err:  # noqa: BLE001 — cache is best-effort
                 if verbose:
-                    print(f"Issue loading cached model -- encountered {err}")
+                    print(f"cache entry unreadable ({err}); retraining")
+
+        def _kmeans_labels(features):
+            km = skl_cluster.KMeans(
+                n_clusters=self.n_clusters,
+                init="k-means++", n_init=10, random_state=0,
+            )
+            return km.fit_predict(features)
 
         if init in ("k-means", "kmeans"):
-            self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters,
-                init="k-means++",
-                n_init=10,
-                random_state=0,
-            ).fit_predict(self.states[0])
+            self.cluster_assignment = _kmeans_labels(self.states[0])
         elif init in ("kmeans-all", "k-means-all"):
-            self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters,
-                init="k-means++",
-                n_init=10,
-                random_state=0,
-            ).fit_predict(
-                np.stack(
-                    [self.states[:, i, :].ravel() for i in range(self.n_data)]
-                )
+            flat = np.stack(
+                [self.states[:, i, :].ravel() for i in range(self.n_data)]
             )
+            self.cluster_assignment = _kmeans_labels(flat)
         elif init in ("kmeans-take-finite", "k-means-take-finite"):
-            self.cluster_assignment = skl_cluster.KMeans(
-                n_clusters=self.n_clusters,
-                init="k-means++",
-                n_init=10,
-                random_state=0,
-            ).fit_predict(
+            self.cluster_assignment = _kmeans_labels(
                 np.column_stack(util.take_finite_along_axis(self.states, 0))
             )
         else:
@@ -385,7 +374,7 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
         assert len(self.cluster_assignment) == self.n_data
         if np.min(np.bincount(self.cluster_assignment)) <= 3:
             warnings.warn(
-                "Cluster initialisation method yielded a nearly empty cluster"
+                "init left a cluster with <=3 members; re-randomizing"
             )
             self.cluster_assignment = self.rng.integers(
                 low=0, high=self.n_clusters, size=self.n_data
@@ -398,7 +387,7 @@ class StateSpaceMixtureModel(skl_base.BaseEstimator, skl_base.DensityMixin):
                 if n_switches == 0:
                     break
                 if np.min(np.bincount(self.cluster_assignment)) <= 3:
-                    raise Exception("Encountered nearly empty cluster.")
+                    raise Exception("cluster dropped to <=3 members")
                 self._M_step()
         except Exception:  # noqa: BLE001 — nearly-empty cluster aborts a start
             pass
