@@ -42,6 +42,10 @@ test-fast:
 bench:
 	$(run-python) bench.py
 
+# shared-line audit vs the read-only reference tree (fails >50% on any file)
+audit:
+	$(run-python) tools/similarity_audit.py
+
 clean:
 	-rm -rf figures/
 	-rm -rf results/

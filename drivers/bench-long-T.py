@@ -7,8 +7,15 @@ d=5, l=3 that is a 4096² matrix per (cluster, pattern).  The Markov
 factorization (ops/markov.py) never builds it — per-iteration cost is
 O(T·n·(d²+dl+l²)) — so EM stays fast and memory-flat as T grows.
 
+A third column times the exact partial-observation Kalman filter
+(`em.masked_logliks_kalman`) on the same batch with ~30% of coordinates
+knocked out at INTERIOR positions — the arbitrary-missingness regime
+where neither the suffix Markov factorization nor (past T≈64) the dense
+joint applies.  One (C, n) log-likelihood evaluation is the unit (the
+filter is the E-step's density engine there).
+
 Prints one line per T with ms/EM-iteration for each path (dense skipped
-once its joint moments exceed the chip); run on TPU, ~3 min.
+once its joint moments exceed the chip); run on TPU, ~4 min.
 """
 
 import functools
@@ -34,6 +41,12 @@ from multimodal_trajectory_modeling_tpu.models import em
 N = int(os.environ.get("MTM_LONGT_N", 100_000))
 D_H, D_O, C = 5, 3, 16
 DENSE_T_MAX = 64  # (T(d+l))² joint per (cluster, pattern) beyond this
+T_LIST = tuple(
+    int(t)
+    for t in os.environ.get("MTM_LONGT_TLIST", "10,32,64,128,256,512").split(
+        ","
+    )
+)
 
 
 def make(T, n):
@@ -97,6 +110,25 @@ def time_markov(z, x, lens, T, params, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def time_kalman_masked(z, x, T, params, iters=10):
+    """ms per (C, n) masked-filter log-likelihood evaluation with ~30%
+    interior per-coordinate missingness injected on top of the batch."""
+    rng = np.random.default_rng(2)
+    zm = np.asarray(z).copy()
+    xm = np.asarray(x).copy()
+    zm[rng.random(zm.shape) < 0.3] = np.nan
+    xm[rng.random(xm.shape) < 0.3] = np.nan
+    zj, xj = jnp.asarray(zm), jnp.asarray(xm)
+    ll_fn = jax.jit(em.masked_logliks_kalman)
+    ll = ll_fn(params, zj, xj)
+    float(ll[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ll = ll_fn(params, zj, xj)
+    float(ll[0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def time_dense(z, x, v, patterns, pid, T, params, iters=10):
     n = v.shape[0]
     order = np.argsort(pid, kind="stable")
@@ -128,7 +160,7 @@ def time_dense(z, x, v, patterns, pid, T, params, iters=10):
 def main():
     rng = np.random.default_rng(1)
     rows = []
-    for T in (10, 32, 64, 128, 256, 512):
+    for T in T_LIST:
         z, x, v, patterns, pid, lens = make(T, N)
         params = em.MixtureParams(
             pi=jnp.ones(C, jnp.float32) / C,
@@ -142,22 +174,25 @@ def main():
             L=jnp.asarray(np.stack([np.eye(D_O)] * C), jnp.float32),
         )
         mk = time_markov(z, x, lens, T, params)
+        ka = time_kalman_masked(z, x, T, params)
         if T <= DENSE_T_MAX:
             dn = time_dense(z, x, v, patterns, pid, T, params)
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter   dense {dn:8.2f} ms/iter"
-                f"   ({dn/mk:.1f}x)",
+                f"   ({dn/mk:.1f}x)   kalman-masked {ka:8.2f} ms/eval",
                 flush=True,
             )
         else:
             dn = None
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter   dense —— "
-                f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))",
+                f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))"
+                f"   kalman-masked {ka:8.2f} ms/eval",
                 flush=True,
             )
         rows.append({"T": T, "markov_ms": round(mk, 2),
-                     "dense_ms": None if dn is None else round(dn, 2)})
+                     "dense_ms": None if dn is None else round(dn, 2),
+                     "kalman_masked_ms": round(ka, 2)})
     print(json.dumps({"metric": "em_ms_per_iter_vs_T", "n": N, "rows": rows}))
 
 

@@ -1,9 +1,10 @@
 """Abstract component-model interface of the extended framework.
 
-Reference: framework_extended/state_space_model.py:14-41 — an sklearn-style
-ABC holding an initial-state model, a state-transition model and a
-measurement model, fit on ``(states, observations)`` tuples and scored
-per-instance.
+Reference semantics: framework_extended/state_space_model.py:14-41 — an
+sklearn-style ABC holding an initial-state model, a state-transition model
+and a measurement model, fit on ``(states, observations)`` tuples and
+scored per-instance.  Subclasses (linear-Gaussian, kNN, hybrid) populate
+the three sub-model slots and the data/data-hash bookkeeping.
 """
 
 from __future__ import annotations
@@ -13,6 +14,15 @@ import abc
 import numpy as np
 import sklearn.base as skl_base
 
+# sub-model + bookkeeping slots every component model carries
+_COMPONENT_SLOTS = (
+    "state_init",
+    "state_model",
+    "measurement_model",
+    "data",
+    "data_hash",
+)
+
 
 class StateSpaceModel(
     skl_base.BaseEstimator, skl_base.DensityMixin, metaclass=abc.ABCMeta
@@ -21,11 +31,8 @@ class StateSpaceModel(
 
     def __init__(self):
         super().__init__()
-        self.state_init = None
-        self.state_model = None
-        self.measurement_model = None
-        self.data = None
-        self.data_hash = None
+        for slot in _COMPONENT_SLOTS:
+            setattr(self, slot, None)
 
     def __str__(self):
         return "State space model"
