@@ -42,7 +42,7 @@ plt.rcParams.update(
 
 ALPHA = 1.0
 CLUSTER_COUNTS = range(1, 8)
-N_STARTS = 1000
+N_STARTS = int(os.environ.get("MTM_N_RESTARTS", "1000"))
 
 # y-axis label → model criterion method, one elbow figure each
 CRITERIA = {

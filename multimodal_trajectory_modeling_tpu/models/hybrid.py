@@ -20,6 +20,9 @@ from multimodal_trajectory_modeling_tpu.models.knn_model import (
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,
 )
+from multimodal_trajectory_modeling_tpu.models.linear_gaussian import (
+    _resolve_pair,
+)
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
 
@@ -106,9 +109,7 @@ class StateSpaceHybrid(StateSpaceModel):
     def score(self, data: tuple[np.ndarray, np.ndarray]):
         """Factorized per-instance log-likelihood: linear transitions, kNN
         measurement means (reference hybrid:133-164)."""
-        if data is None:
-            data = self.data
-        states, measurements = map(np.atleast_3d, data)
+        states, measurements = _resolve_pair(self.data, data)
         T = states.shape[0]
         lp = _gauss_logpdf_rows_mean(
             states[0].astype(float),

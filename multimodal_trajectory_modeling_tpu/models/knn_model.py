@@ -21,6 +21,9 @@ from multimodal_trajectory_modeling_tpu.ops.knn import (
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,
 )
+from multimodal_trajectory_modeling_tpu.models.linear_gaussian import (
+    _resolve_pair,
+)
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
 
@@ -112,9 +115,7 @@ class StateSpaceKNN(StateSpaceModel):
         """Factorized per-instance log-likelihood with kNN conditional means;
         any-NaN rows of a factor are skipped for that factor (reference
         knn:123-155)."""
-        if data is None:
-            data = self.data
-        states, measurements = map(np.atleast_3d, data)
+        states, measurements = _resolve_pair(self.data, data)
         T = states.shape[0]
         lp = _gauss_logpdf_rows_mean(
             states[0].astype(float),

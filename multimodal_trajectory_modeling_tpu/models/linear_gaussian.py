@@ -21,6 +21,13 @@ from multimodal_trajectory_modeling_tpu.utils import state_space as util
 np_eps = np.finfo(float).eps
 
 
+def _resolve_pair(default, data):
+    """Training pair when ``data`` is None, else the pair coerced 3-D."""
+    if data is None:
+        return default
+    return tuple(map(np.atleast_3d, data))
+
+
 class StateSpaceLinearGaussian(StateSpaceModel):
     """Linear Gaussian state-space model; also known as a Linear Dynamical
     System / Kalman-type model."""
@@ -98,9 +105,7 @@ class StateSpaceLinearGaussian(StateSpaceModel):
     def score(self, data: tuple[np.ndarray, np.ndarray] = None):
         """Per-instance joint log-likelihood via the masked Gaussian kernel
         (reference lg:99-126)."""
-        if data is None:
-            data = self.data
-        states, measurements = map(np.atleast_3d, data)
+        states, measurements = _resolve_pair(self.data, data)
         T = states.shape[0]
         mean, cov = self._moments(T)
         n = states.shape[1]
@@ -116,9 +121,7 @@ class StateSpaceLinearGaussian(StateSpaceModel):
     def score_alt(self, data: tuple[np.ndarray, np.ndarray] = None):
         """Same semantics through the slow general path (reference
         lg:128-144) — used as a cross-check."""
-        if data is None:
-            data = self.data
-        states, measurements = map(np.atleast_3d, data)
+        states, measurements = _resolve_pair(self.data, data)
         return ssapi.full_marginalizable_log_prob(
             z=states,
             x=measurements,
