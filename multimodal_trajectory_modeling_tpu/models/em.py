@@ -68,6 +68,7 @@ __all__ = [
     "masked_logliks_kalman",
     "train_em",
     "train_em_sorted",
+    "train_em_masked_kalman",
     "train_em_markov",
     "train_em_markov_multi",
     "train_em_markov_pool",
@@ -911,6 +912,81 @@ def train_em(
         params, assign, i, status = state
         ll = estep_logliks(
             params, v, patterns, pattern_id, T=T, method=method
+        )
+        new_assign = assignments_from_logliks(params.pi, ll)
+        switches = jnp.sum(new_assign != assign)
+        counts = counts_from_assign(new_assign, C)
+        _conv, _empty, run_m, status_out = _em_termination(
+            switches, counts, STATUS_RUNNING, min_members=min_members
+        )
+        new_params = mstep(
+            z, x, new_assign, n_clusters=C, reg_mode=reg_mode, alpha=alpha
+        )
+        params_out = _tree_select(run_m, new_params, params)
+        return (params_out, new_assign, i + 1, status_out)
+
+    params_f, assign_f, iters, status = jax.lax.while_loop(
+        cond, body, (params_start, assign0, jnp.int32(0), status0)
+    )
+    return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "reg_mode", "alpha", "min_members"),
+)
+def train_em_masked_kalman(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,  # (T, n, d) ARBITRARY per-coordinate NaNs
+    x: jax.Array,  # (T, n, l)
+    *,
+    n_steps: int = 1000,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """One full EM run under ARBITRARY per-coordinate missingness with an
+    O(T) E step — the long-T trainer for interior missingness, where the
+    dense path's (T(d+ℓ))² joint covariance (reference
+    marginalizable_state_space_model.py:741-773 semantics) is infeasible
+    and the suffix-Markov factorization does not apply.
+
+    E step: exact partial-observation Kalman densities
+    (:func:`ops.kalman.kalman_masked_logliks` — equal to the dense
+    drop-rows/cols marginal to ~1e-12 in f64).  M step: the same masked
+    sufficient-statistics path every other trainer uses (:func:`mstep` —
+    any-NaN row pairs dropped per factor, reference regress semantics).
+    Status protocol, init-abort guard and stop conditions are identical
+    to :func:`train_em` (reference mixture:1310-1366); on suffix-only
+    missingness it reproduces ``train_em``'s trajectory exactly (the
+    filter marginal equals the joint marginal).
+
+    Returns ``(params, assign, n_iterations, status)``.
+    """
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    C = params0.pi.shape[0]
+    assign0 = assign0.astype(jnp.int32)
+
+    counts0 = counts_from_assign(assign0, C)
+    init_abort = jnp.min(counts0) <= min_members
+
+    params_m = mstep(
+        z, x, assign0, n_clusters=C, reg_mode=reg_mode, alpha=alpha
+    )
+    params_start = _tree_select(init_abort, params0, params_m)
+    status0 = jnp.where(init_abort, STATUS_INIT_ABORT, STATUS_RUNNING)
+
+    def cond(state):
+        _, _, i, status = state
+        return (status == STATUS_RUNNING) & (i < n_steps)
+
+    def body(state):
+        params, assign, i, status = state
+        ll = kalman.kalman_masked_logliks(
+            z, x,
+            params.m, params.S, params.A, params.G, params.H, params.L,
         )
         new_assign = assignments_from_logliks(params.pi, ll)
         switches = jnp.sum(new_assign != assign)

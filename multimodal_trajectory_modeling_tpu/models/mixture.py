@@ -719,8 +719,12 @@ class MMLinGaussSS_marginalizable:
         ``fast=True`` routes the fused-kernel production paths: suffix
         -only missingness (variable trajectory lengths) takes the O(T)
         Markov EM kernel (:func:`em.train_em_markov` — one kernel pass
-        per iteration, no pattern sort); any other missingness takes the
-        pattern-sorted dense-joint kernels (:func:`em.train_em_sorted`).
+        per iteration, no pattern sort); interior missingness at long T
+        (T(d+l) > 512) or unstructured missingness (> 256 patterns)
+        takes the exact O(T) partial-observation filter trainer
+        (:func:`em.train_em_masked_kalman`); any other missingness takes
+        the pattern-sorted dense-joint kernels
+        (:func:`em.train_em_sorted`).
         Both are f64-identical to the default path, f32 up to
         reassociation; leave ``False`` for bit-level reference parity on
         the CPU-x64 path.  ``verbose=True`` takes the host-stepped loop
@@ -743,6 +747,24 @@ class MMLinGaussSS_marginalizable:
                     z,
                     x,
                     jnp.asarray(plens[pid_np]),
+                    n_steps=n_steps,
+                    reg_mode=reg_mode,
+                    alpha=float(self.alpha),
+                )
+            elif (
+                z.shape[0] * (self.d_states + self.d_observations) > 512
+                or patterns.shape[0] > 256
+            ):
+                # interior missingness at long T (or unstructured
+                # missingness with P ~ n patterns): the dense (T(d+l))²
+                # joint is infeasible — train through the exact O(T)
+                # partial-observation filter (same status protocol;
+                # equal to the dense path in f64, tested)
+                params, assign, iters, status = em.train_em_masked_kalman(
+                    self._stacked_params(),
+                    jnp.asarray(self.cluster_assignment),
+                    z,
+                    x,
                     n_steps=n_steps,
                     reg_mode=reg_mode,
                     alpha=float(self.alpha),

@@ -295,3 +295,51 @@ def test_train_em_markov_grid_kernel_regime():
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
         )
+
+
+def test_train_em_masked_kalman_matches_train_em_interior():
+    """The O(T) masked-filter trainer must reproduce train_em exactly in
+    f64 under INTERIOR (random per-coordinate) missingness — same
+    statuses, iteration counts, assignments and parameters.  This is the
+    regime where the dense path's (T(d+l))² joint is the only reference
+    oracle and stops being feasible at long T."""
+    z, x, labels, true = _make_mixture_data(seed=11, n=300, T=6)
+    rng = np.random.default_rng(4)
+    z[rng.random(z.shape) < 0.15] = np.nan
+    x[rng.random(x.shape) < 0.15] = np.nan
+    v, patterns, pid = _packed(z, x)
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(rng.integers(0, C, size=300), jnp.int32)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), v, patterns, pid,
+        n_steps=50,
+    )
+    p_k, a_k, it_k, st_k = em.train_em_masked_kalman(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), n_steps=50
+    )
+    assert int(st_ref) == int(st_k) == em.STATUS_CONVERGED
+    assert int(it_ref) == int(it_k)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_k))
+    for fa, fb in zip(p_ref, p_k):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
+
+
+def test_train_em_masked_kalman_init_abort():
+    """A near-empty initial assignment must return untouched with
+    STATUS_INIT_ABORT, exactly like train_em."""
+    z, x, labels, true = _make_mixture_data(seed=12, n=60, T=5)
+    rng = np.random.default_rng(5)
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(np.r_[np.zeros(58), np.ones(2)], jnp.int32)
+    p_k, a_k, it_k, st_k = em.train_em_masked_kalman(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), n_steps=50
+    )
+    assert int(st_k) == em.STATUS_INIT_ABORT
+    assert int(it_k) == 0
+    for fa, fb in zip(p_k, params0):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))

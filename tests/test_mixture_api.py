@@ -466,3 +466,52 @@ def test_long_T_interior_missingness_routes_masked_filter():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+
+
+def test_train_fast_long_T_interior_missingness_routes_filter():
+    """At T(d+l) > 512 with interior missingness, train(fast=True) routes
+    the exact O(T) masked-filter trainer (the dense joint would be
+    (T(d+l))² per pattern with P ~ n patterns) and must converge to a
+    model equal to calling em.train_em_masked_kalman directly."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(17)
+    C, T, n, d, l = 2, 110, 48, 2, 3  # T(d+l) = 550 > 512
+    centers = np.array([[-6.0, -6.0], [6.0, 6.0]])
+    labels = np.arange(n) % C
+    z = np.cumsum(rng.normal(0, 0.1, size=(T, n, d)), axis=0)
+    z += centers[labels][None, :, :]
+    x = z @ rng.normal(size=(d, l)) * 0.5 + rng.normal(0, 0.3, (T, n, l))
+    z[rng.random(z.shape) < 0.1] = np.nan
+    x[rng.random(x.shape) < 0.1] = np.nan
+
+    # k-means init on the (well-separated) initial states, as the
+    # reference drivers do; the captured assignment keeps the direct
+    # trainer call bit-comparable
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=C, states=z, observations=x, random_seed=3, init="kmeans"
+    )
+    init_assign = np.asarray(mdl.cluster_assignment).copy()
+    params0 = mdl._stacked_params()
+    trained = mdl.train(n_steps=30, fast=True)
+
+    p_ref, a_ref, _it, st = em.train_em_masked_kalman(
+        params0,
+        jnp.asarray(init_assign, jnp.int32),
+        jnp.asarray(z),
+        jnp.asarray(x),
+        n_steps=30,
+    )
+    assert int(st) in (em.STATUS_CONVERGED, em.STATUS_RUNNING)
+    np.testing.assert_array_equal(
+        trained.cluster_assignment, np.asarray(a_ref)
+    )
+    np.testing.assert_allclose(
+        trained.transition_matrices, np.asarray(p_ref.A), rtol=1e-12
+    )
+    # and the clusters it finds separate the construction labels
+    acc = max(
+        np.mean(trained.cluster_assignment == labels),
+        np.mean(trained.cluster_assignment != labels),
+    )
+    assert acc > 0.95
