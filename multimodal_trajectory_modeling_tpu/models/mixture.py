@@ -1082,6 +1082,40 @@ class MMLinGaussSS_marginalizable:
                         results_params.append(params_c)
                         results_assign.append(np.asarray(assign_c))
                         objectives.append(obj)
+            elif (
+                z.shape[0] * (self.d_states + self.d_observations) > 512
+                or patterns.shape[0] > 256
+            ):
+                # interior missingness at long T / unstructured
+                # missingness: per-candidate exact O(T) masked-filter
+                # trainer (same route train(fast=True) takes); the
+                # complete-data objective re-evaluates the filter
+                # densities under a fresh E assignment
+                ll_fn = jax.jit(em.masked_logliks_kalman)
+                for cand in candidates:
+                    params_c, assign_c, _it, _st = (
+                        em.train_em_masked_kalman(
+                            cand._stacked_params(),
+                            jnp.asarray(cand.cluster_assignment),
+                            z,
+                            x,
+                            n_steps=n_steps,
+                            reg_mode=reg_mode,
+                            alpha=float(self.alpha),
+                        )
+                    )
+                    ll = ll_fn(params_c, z, x)
+                    a_fresh = em.assignments_from_logliks(params_c.pi, ll)
+                    picked = jnp.take_along_axis(
+                        ll, a_fresh[None, :], axis=0
+                    )[0]
+                    obj = float(
+                        jnp.sum(jnp.log(params_c.pi)[a_fresh])
+                        + jnp.sum(picked)
+                    )
+                    results_params.append(params_c)
+                    results_assign.append(np.asarray(assign_c))
+                    objectives.append(obj)
             else:
                 order = np.argsort(pid_np, kind="stable")
                 sizes = tuple(

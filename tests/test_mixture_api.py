@@ -515,3 +515,35 @@ def test_train_fast_long_T_interior_missingness_routes_filter():
         np.mean(trained.cluster_assignment != labels),
     )
     assert acc > 0.95
+
+
+def test_fast_multistart_unstructured_missingness_matches_default():
+    """With > 256 distinct missingness patterns (unstructured NaNs),
+    fast=True multistart routes the per-candidate masked-filter trainer;
+    winner, assignments and per-candidate objectives must match the
+    default (dense) multistart."""
+    rng = np.random.default_rng(23)
+    C, T, n, d, l = 2, 6, 500, 2, 3
+    centers = np.array([[-4.0, -4.0], [4.0, 4.0]])
+    labels = np.arange(n) % C
+    z = np.cumsum(rng.normal(0, 0.2, (T, n, d)), 0) + centers[labels][None]
+    x = z @ rng.normal(size=(d, l)) * 0.5 + rng.normal(0, 0.3, (T, n, l))
+    z[rng.random(z.shape) < 0.12] = np.nan
+    x[rng.random(x.shape) < 0.12] = np.nan
+
+    def run(fast):
+        np.random.seed(7)
+        return MMLinGaussSS_marginalizable(
+            n_clusters=C, states=z, observations=x, random_seed=11
+        ).train_with_multiple_random_starts(
+            n_starts=3, use_cache=False, fast=fast, return_objectives=True
+        )
+
+    m_def, o_def = run(False)
+    m_f, o_f = run(True)
+    np.testing.assert_allclose(
+        np.asarray(o_f, float), np.asarray(o_def, float), rtol=1e-9
+    )
+    np.testing.assert_array_equal(
+        m_f.cluster_assignment, m_def.cluster_assignment
+    )
