@@ -37,6 +37,7 @@ __all__ = [
     "train_em_data_parallel",
     "train_em_shardmap",
     "train_em_markov_shardmap",
+    "train_em_masked_kalman_shardmap",
     "train_em_markov_multi_shardmap",
     "train_em_multistart_sharded",
     "train_em_multistart_2d",
@@ -182,6 +183,32 @@ def train_em_shardmap(
     )(params0, assign0, z, x, v, patterns, pattern_id)
 
 
+def _local_mstep_stats(z_l, x_l, assign_l, C):
+    """Shard-local masked M-step sufficient statistics — all additive,
+    so a ``psum`` of each leaf gives the global statistics exactly."""
+    dtype = z_l.dtype
+    W = jax.nn.one_hot(assign_l, C, dtype=dtype)
+    counts = jnp.sum(W, axis=0)
+    init_stats = rops.masked_moment_stats(z_l[0], W)
+    tstats = rops.weighted_regression_stats_timebatched(
+        z_l[:-1], z_l[1:], W
+    )
+    mstats = rops.weighted_regression_stats_timebatched(z_l, x_l, W)
+    return counts, init_stats, tstats, mstats
+
+
+def _params_from_global_stats(
+    counts, init_stats, tstats, mstats, n_total, *, reg_mode, alpha
+):
+    """Per-cluster solves from the psum'd statistics — tiny, so every
+    device computes them redundantly (cheaper than a broadcast)."""
+    pi = counts / n_total
+    m0, S0 = rops.mean_cov_from_stats(init_stats)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+    return em.MixtureParams(pi, m0, S0, A, G, H, L)
+
+
 def _make_shard_em_loop(
     *, C, T, axis, n_steps, reg_mode, alpha, method, min_members
 ):
@@ -194,22 +221,13 @@ def _make_shard_em_loop(
         return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
 
     def local_mstep_stats(z_l, x_l, assign_l):
-        dtype = z_l.dtype
-        W = jax.nn.one_hot(assign_l, C, dtype=dtype)
-        counts = jnp.sum(W, axis=0)
-        init_stats = rops.masked_moment_stats(z_l[0], W)
-        tstats = rops.weighted_regression_stats_timebatched(
-            z_l[:-1], z_l[1:], W
-        )
-        mstats = rops.weighted_regression_stats_timebatched(z_l, x_l, W)
-        return counts, init_stats, tstats, mstats
+        return _local_mstep_stats(z_l, x_l, assign_l, C)
 
     def global_params_from_stats(counts, init_stats, tstats, mstats, n_total):
-        pi = counts / n_total
-        m0, S0 = rops.mean_cov_from_stats(init_stats)
-        A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
-        H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
-        return em.MixtureParams(pi, m0, S0, A, G, H, L)
+        return _params_from_global_stats(
+            counts, init_stats, tstats, mstats, n_total,
+            reg_mode=reg_mode, alpha=alpha,
+        )
 
     def shard_fn(params0, assign0, z_l, x_l, v_l, patterns_r, pid_l):
         assign0 = assign0.astype(jnp.int32)
@@ -514,6 +532,115 @@ def train_em_markov_shardmap(
         out_specs=(param_spec, P(axis), P(), P()),
         check_vma=False,
     )(params0, assign0, z, x, lens)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
+)
+def train_em_masked_kalman_shardmap(
+    params0,
+    assign0,
+    z,  # (T, n, d) ARBITRARY per-coordinate NaNs — n sharded over "data"
+    x,  # (T, n, l)
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+):
+    """Data-parallel O(T) EM under ARBITRARY missingness inside
+    ``shard_map``: the exact partial-observation Kalman densities
+    (ops/kalman.py) are embarrassingly parallel over instances, so per
+    iteration the only cross-device traffic is the same additive block
+    every dense-path iteration psums — membership counts, switch count,
+    initial-moment statistics and the two masked regression-stats
+    tuples.  Equal to the single-device
+    :func:`..models.em.train_em_masked_kalman` up to psum reassociation
+    (exact on the f64 test mesh)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    C = params0.pi.shape[0]
+    axis = "data"
+
+    def psum_tree(t):
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
+
+    def shard_fn(params0, assign0, z_l, x_l):
+        assign0 = assign0.astype(jnp.int32)
+        n_total = jax.lax.psum(
+            jnp.asarray(assign0.shape[0], z_l.dtype), axis
+        )
+
+        def mstep_l(assign):
+            counts, istats, tstats, mstats = psum_tree(
+                _local_mstep_stats(z_l, x_l, assign, C)
+            )
+            return _params_from_global_stats(
+                counts, istats, tstats, mstats, n_total,
+                reg_mode=reg_mode, alpha=alpha,
+            )
+
+        counts0 = jax.lax.psum(em.counts_from_assign(assign0, C), axis)
+        init_abort = jnp.min(counts0) <= min_members
+        params_m = mstep_l(assign0)
+        params_start = jax.tree.map(
+            lambda a, b: jnp.where(init_abort, a, b), params0, params_m
+        )
+        status0 = jnp.where(
+            init_abort, em.STATUS_INIT_ABORT, em.STATUS_RUNNING
+        )
+
+        def cond(state):
+            _, _, i, status = state
+            return (status == em.STATUS_RUNNING) & (i < n_steps)
+
+        def body(state):
+            params, assign, i, status = state
+            ll = kalman.kalman_masked_logliks(
+                z_l, x_l,
+                params.m, params.S, params.A, params.G, params.H, params.L,
+            )
+            new_assign = em.assignments_from_logliks(params.pi, ll)
+            switches = jax.lax.psum(jnp.sum(new_assign != assign), axis)
+            counts = jax.lax.psum(
+                em.counts_from_assign(new_assign, C), axis
+            )
+            converged = switches == 0
+            empty = (~converged) & (jnp.min(counts) <= min_members)
+            run_m = (~converged) & (~empty)
+            new_params = mstep_l(new_assign)
+            params_out = jax.tree.map(
+                lambda a, b: jnp.where(run_m, a, b), new_params, params
+            )
+            status_out = jnp.where(
+                converged,
+                em.STATUS_CONVERGED,
+                jnp.where(
+                    empty, em.STATUS_EMPTY_CLUSTER, em.STATUS_RUNNING
+                ),
+            )
+            return (params_out, new_assign, i + 1, status_out)
+
+        params_f, assign_f, iters, status = jax.lax.while_loop(
+            cond, body, (params_start, assign0, jnp.int32(0), status0)
+        )
+        return params_f, assign_f, iters, status
+
+    param_spec = jax.tree.map(lambda _: P(), params0)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            param_spec,
+            P(axis),
+            P(None, axis, None),
+            P(None, axis, None),
+        ),
+        out_specs=(param_spec, P(axis), P(), P()),
+        check_vma=False,
+    )(params0, assign0, z, x)
 
 
 @functools.partial(

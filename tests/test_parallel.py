@@ -445,3 +445,49 @@ def test_mixture_multistart_multichip_matches_single(problem, monkeypatch):
     a2, o2 = run(True)
     np.testing.assert_array_equal(a2, a1)
     np.testing.assert_allclose(o2, o1, rtol=1e-12)
+
+
+def test_masked_kalman_shardmap_matches_unsharded(problem):
+    """The data-parallel masked-filter trainer must reproduce the
+    single-device em.train_em_masked_kalman exactly (f64 mesh) under
+    INTERIOR per-coordinate missingness."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(41)
+    C = 3
+    z = np.asarray(problem["z"]).copy()
+    x = np.asarray(problem["x"]).copy()
+    d, l = z.shape[-1], x.shape[-1]
+    n = z.shape[1]
+    z[rng.random(z.shape) < 0.1] = np.nan
+    x[rng.random(x.shape) < 0.1] = np.nan
+
+    def spd(k):
+        X = rng.normal(size=(k, k))
+        return X @ X.T + np.eye(k)
+
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C,
+        m=jnp.asarray(rng.normal(size=(C, d))),
+        S=jnp.asarray(np.stack([spd(d) for _ in range(C)])),
+        A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+        G=jnp.asarray(np.stack([spd(d) for _ in range(C)])),
+        H=jnp.asarray(rng.normal(size=(C, d, l))),
+        L=jnp.asarray(np.stack([spd(l) for _ in range(C)])),
+    )
+    assign0 = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    zj, xj = jnp.asarray(z), jnp.asarray(x)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em_masked_kalman(
+        params0, assign0, zj, xj, n_steps=25
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    p_s, a_s, it_s, st_s = sharded_em.train_em_masked_kalman_shardmap(
+        params0, assign0, zj, xj, mesh=mesh, n_steps=25
+    )
+    assert (int(st_ref), int(it_ref)) == (int(st_s), int(it_s))
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_s))
+    for fa, fb in zip(p_ref, p_s):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-13
+        )
