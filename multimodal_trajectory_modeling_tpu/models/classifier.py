@@ -13,6 +13,10 @@ from __future__ import annotations
 import numpy as np
 from sklearn import base as skl_base
 
+from multimodal_trajectory_modeling_tpu.models.state_space_model import (
+    resolve_pair as _resolve_pair,
+)
+
 
 def _as3d(data):
     """Coerce a (states, measurements) pair to 3-D arrays."""
@@ -54,7 +58,7 @@ class StateSpaceModelClassifier(
 
     def _resolve(self, data):
         """Default to the training pair; otherwise coerce to 3-D."""
-        return self.data if data is None else _as3d(data)
+        return _resolve_pair(self.data, data)
 
     def _logits(self, data) -> np.ndarray:
         """(n, K) matrix of log π_k + log p(data_i | model_k)."""

@@ -62,6 +62,7 @@ __all__ = [
     "mstep",
     "complete_data_loglik",
     "complete_data_loglik_markov",
+    "complete_data_loglik_masked_kalman",
     "model_loglik",
     "model_loglik_markov",
     "observed_logliks_kalman",
@@ -272,6 +273,7 @@ def observed_logliks_kalman(
     )
 
 
+@jax.jit
 def masked_logliks_kalman(
     params: MixtureParams,
     z: jax.Array,  # (T, n, d) arbitrary per-coordinate NaNs
@@ -289,6 +291,22 @@ def masked_logliks_kalman(
     return kalman.kalman_masked_logliks(
         z, x, params.m, params.S, params.A, params.G, params.H, params.L
     )
+
+
+@jax.jit
+def complete_data_loglik_masked_kalman(
+    params: MixtureParams,
+    z: jax.Array,  # (T, n, d) arbitrary per-coordinate NaNs
+    x: jax.Array,  # (T, n, l)
+) -> jax.Array:
+    """Hard-assignment expected complete-data log-likelihood Q with a
+    fresh E assignment, evaluated through the exact O(T) masked filter —
+    the general-missingness analogue of :func:`complete_data_loglik`
+    (reference ``e_complete_data_log_lik``, mixture:579-624)."""
+    ll = masked_logliks_kalman(params, z, x)
+    a = assignments_from_logliks(params.pi, ll)
+    picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
+    return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
 
 
 def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:

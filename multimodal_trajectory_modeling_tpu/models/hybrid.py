@@ -19,9 +19,7 @@ from multimodal_trajectory_modeling_tpu.models.knn_model import (
 )
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,
-)
-from multimodal_trajectory_modeling_tpu.models.linear_gaussian import (
-    _resolve_pair,
+    resolve_pair as _resolve_pair,
 )
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 

@@ -15,17 +15,11 @@ import numpy as np
 from multimodal_trajectory_modeling_tpu.models import statespace_api as ssapi
 from multimodal_trajectory_modeling_tpu.models.state_space_model import (
     StateSpaceModel,
+    resolve_pair as _resolve_pair,
 )
 from multimodal_trajectory_modeling_tpu.utils import state_space as util
 
 np_eps = np.finfo(float).eps
-
-
-def _resolve_pair(default, data):
-    """Training pair when ``data`` is None, else the pair coerced 3-D."""
-    if data is None:
-        return default
-    return tuple(map(np.atleast_3d, data))
 
 
 class StateSpaceLinearGaussian(StateSpaceModel):

@@ -198,6 +198,19 @@ class MMLinGaussSS_marginalizable:
         self.measurement_matrices = list(np.asarray(params.H, dtype=float))
         self.measurement_covs = list(np.asarray(params.L, dtype=float))
 
+    def _needs_masked_filter_route(self, T, n_patterns) -> bool:
+        """True when the dense (T(d+l))² joint is infeasible and the fast
+        paths must train/score through the exact O(T) partial-observation
+        filter instead: long trajectories (joint dimension > 512) or
+        unstructured missingness (pattern count past the grouped-logpdf
+        regime).  Single source of truth for train(fast=True) AND the
+        fast multistart (they must pick the same kernel or the winner's
+        objective and the final retrain would diverge)."""
+        return (
+            T * (self.d_states + self.d_observations) > 512
+            or n_patterns > 256
+        )
+
     @staticmethod
     def _suffix_pattern_lens(patterns, T, d, l):
         """If every missingness pattern is a pure time-suffix (a length
@@ -751,9 +764,8 @@ class MMLinGaussSS_marginalizable:
                     reg_mode=reg_mode,
                     alpha=float(self.alpha),
                 )
-            elif (
-                z.shape[0] * (self.d_states + self.d_observations) > 512
-                or patterns.shape[0] > 256
+            elif self._needs_masked_filter_route(
+                z.shape[0], patterns.shape[0]
             ):
                 # interior missingness at long T (or unstructured
                 # missingness with P ~ n patterns): the dense (T(d+l))²
@@ -1082,16 +1094,14 @@ class MMLinGaussSS_marginalizable:
                         results_params.append(params_c)
                         results_assign.append(np.asarray(assign_c))
                         objectives.append(obj)
-            elif (
-                z.shape[0] * (self.d_states + self.d_observations) > 512
-                or patterns.shape[0] > 256
+            elif self._needs_masked_filter_route(
+                z.shape[0], patterns.shape[0]
             ):
                 # interior missingness at long T / unstructured
                 # missingness: per-candidate exact O(T) masked-filter
-                # trainer (same route train(fast=True) takes); the
-                # complete-data objective re-evaluates the filter
-                # densities under a fresh E assignment
-                ll_fn = jax.jit(em.masked_logliks_kalman)
+                # trainer (same route train(fast=True) takes, by the
+                # shared predicate); the complete-data objective
+                # re-evaluates the filter densities under a fresh E
                 for cand in candidates:
                     params_c, assign_c, _it, _st = (
                         em.train_em_masked_kalman(
@@ -1104,14 +1114,10 @@ class MMLinGaussSS_marginalizable:
                             alpha=float(self.alpha),
                         )
                     )
-                    ll = ll_fn(params_c, z, x)
-                    a_fresh = em.assignments_from_logliks(params_c.pi, ll)
-                    picked = jnp.take_along_axis(
-                        ll, a_fresh[None, :], axis=0
-                    )[0]
                     obj = float(
-                        jnp.sum(jnp.log(params_c.pi)[a_fresh])
-                        + jnp.sum(picked)
+                        em.complete_data_loglik_masked_kalman(
+                            params_c, z, x
+                        )
                     )
                     results_params.append(params_c)
                     results_assign.append(np.asarray(assign_c))

@@ -24,6 +24,15 @@ _COMPONENT_SLOTS = (
 )
 
 
+def resolve_pair(default, data):
+    """Training pair when ``data`` is None, else the pair coerced 3-D —
+    the shared data-resolution idiom of every component model's
+    ``score``/``predict`` surface."""
+    if data is None:
+        return default
+    return tuple(map(np.atleast_3d, data))
+
+
 class StateSpaceModel(
     skl_base.BaseEstimator, skl_base.DensityMixin, metaclass=abc.ABCMeta
 ):

@@ -607,19 +607,15 @@ def train_em_masked_kalman_shardmap(
             counts = jax.lax.psum(
                 em.counts_from_assign(new_assign, C), axis
             )
-            converged = switches == 0
-            empty = (~converged) & (jnp.min(counts) <= min_members)
-            run_m = (~converged) & (~empty)
+            # shared termination classifier — keeps this loop in exact
+            # agreement with the single-device em.train_em_masked_kalman
+            _conv, _empty, run_m, status_out = em._em_termination(
+                switches, counts, em.STATUS_RUNNING,
+                min_members=min_members,
+            )
             new_params = mstep_l(new_assign)
             params_out = jax.tree.map(
                 lambda a, b: jnp.where(run_m, a, b), new_params, params
-            )
-            status_out = jnp.where(
-                converged,
-                em.STATUS_CONVERGED,
-                jnp.where(
-                    empty, em.STATUS_EMPTY_CLUSTER, em.STATUS_RUNNING
-                ),
             )
             return (params_out, new_assign, i + 1, status_out)
 

@@ -79,10 +79,12 @@ def get_trajectories(
         os.path.join(_DATA_DIR, "adni-trajectories.npz"), allow_pickle=True
     )
     fields = ["z", "x", "d", "ids", "time"]
-    if return_mmse or return_approx_age:
+    # age rides only alongside mmse, as in the reference signature —
+    # return_approx_age alone is ignored (reference util_adni.py:363-395)
+    if return_mmse:
         fields.append("mmse")
-    if return_approx_age:
-        fields.append("age")
+        if return_approx_age:
+            fields.append("age")
     return tuple(npz[k] for k in fields)
 
 

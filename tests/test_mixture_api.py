@@ -468,12 +468,23 @@ def test_long_T_interior_missingness_routes_masked_filter():
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
 
 
-def test_train_fast_long_T_interior_missingness_routes_filter():
+def test_train_fast_long_T_interior_missingness_routes_filter(monkeypatch):
     """At T(d+l) > 512 with interior missingness, train(fast=True) routes
     the exact O(T) masked-filter trainer (the dense joint would be
     (T(d+l))² per pattern with P ~ n patterns) and must converge to a
-    model equal to calling em.train_em_masked_kalman directly."""
+    model equal to calling em.train_em_masked_kalman directly.  A spy on
+    the trainer pins the route itself (equality alone would also pass
+    through the dense path, which agrees to ~1e-12 in f64)."""
     from multimodal_trajectory_modeling_tpu.models import em
+
+    calls = []
+    real_trainer = em.train_em_masked_kalman
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real_trainer(*args, **kwargs)
+
+    monkeypatch.setattr(em, "train_em_masked_kalman", spy)
 
     rng = np.random.default_rng(17)
     C, T, n, d, l = 2, 110, 48, 2, 3  # T(d+l) = 550 > 512
@@ -494,8 +505,9 @@ def test_train_fast_long_T_interior_missingness_routes_filter():
     init_assign = np.asarray(mdl.cluster_assignment).copy()
     params0 = mdl._stacked_params()
     trained = mdl.train(n_steps=30, fast=True)
+    assert calls, "fast path did not route the masked-filter trainer"
 
-    p_ref, a_ref, _it, st = em.train_em_masked_kalman(
+    p_ref, a_ref, _it, st = real_trainer(
         params0,
         jnp.asarray(init_assign, jnp.int32),
         jnp.asarray(z),
