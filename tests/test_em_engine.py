@@ -343,3 +343,23 @@ def test_train_em_masked_kalman_init_abort():
     assert int(it_k) == 0
     for fa, fb in zip(p_k, params0):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_complete_data_loglik_masked_kalman_matches_dense():
+    """The filter-based complete-data objective must equal the dense
+    pattern-grouped one under interior missingness (f64, fresh-E rule)."""
+    z, x, labels, true = _make_mixture_data(seed=13, n=200, T=5)
+    rng = np.random.default_rng(6)
+    z[rng.random(z.shape) < 0.2] = np.nan
+    x[rng.random(x.shape) < 0.2] = np.nan
+    v, patterns, pid = _packed(z, x)
+    params = _random_init_params(rng, 2, 2, 3)
+    q_dense = float(
+        em.complete_data_loglik(params, v, patterns, pid, T=z.shape[0])
+    )
+    q_filter = float(
+        em.complete_data_loglik_masked_kalman(
+            params, jnp.asarray(z), jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(q_filter, q_dense, rtol=1e-10)
