@@ -559,3 +559,29 @@ def test_fast_multistart_unstructured_missingness_matches_default():
     np.testing.assert_array_equal(
         m_f.cluster_assignment, m_def.cluster_assignment
     )
+
+
+def test_single_cluster_trains_all_paths(synth):
+    """n_clusters=1 (the first point of the model-selection sweep) must
+    train under the default, suffix-Markov and dense fast paths and give
+    identical single-cluster fits with finite criteria."""
+    rng = np.random.default_rng(3)
+    z = synth["z"][:, :200].copy()
+    x = synth["x"][:, :200].copy()
+    T, n = z.shape[:2]
+    lens = rng.choice([T // 2, T], size=n)
+    tmask = np.arange(T)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+
+    fits = {}
+    for tag, kw in [("default", {}), ("fast", {"fast": True})]:
+        mdl = MMLinGaussSS_marginalizable(
+            n_clusters=1, states=z, observations=x, random_seed=2
+        ).train(n_steps=20, **kw)
+        assert set(np.asarray(mdl.cluster_assignment)) == {0}
+        assert np.isfinite(mdl.aic()) and np.isfinite(mdl.bic())
+        fits[tag] = np.asarray(mdl.transition_matrices)
+    np.testing.assert_allclose(
+        fits["fast"], fits["default"], rtol=1e-9, atol=1e-10
+    )
