@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,3 +54,35 @@ def test_macc_driver_gates_cleanly(tmp_path):
     r = _run("inference-train-adni-test-macc.py", tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "not shipped" in r.stdout
+
+
+@pytest.mark.slow
+def test_scale_sweep_smoke(tmp_path):
+    """synthetic-scale-sweep at n=2000 on CPU: every cluster count must
+    converge (status 1) and report finite objectives."""
+    code = (
+        "import os, sys\n"
+        "os.environ['MTM_SWEEP_N'] = '2000'\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        f"runpy.run_path({os.path.join(REPO, 'drivers', 'synthetic-scale-sweep.py')!r},"
+        " run_name='__main__')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    sweep = json.loads(r.stdout.strip().splitlines()[-1])["sweep"]
+    assert [row["n_clusters"] for row in sweep] == [2, 4, 8, 16]
+    assert all(row["status"] == 1 for row in sweep)
+    assert all(
+        np.isfinite(row["complete_data_loglik"]) for row in sweep
+    )
