@@ -491,3 +491,37 @@ def test_masked_kalman_shardmap_matches_unsharded(problem):
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-13
         )
+
+
+def test_mixture_multistart_multichip_with_refills(problem, monkeypatch):
+    """MTM_MULTICHIP=1 with fewer pool slots than candidates: slot
+    refills must ride the data mesh too, reproducing the single-device
+    winner/objectives through the public multistart API."""
+    from multimodal_trajectory_modeling_tpu.models.mixture import (
+        MMLinGaussSS_marginalizable,
+    )
+
+    z = np.asarray(problem["z"])
+    x = np.asarray(problem["x"])
+    monkeypatch.setenv("MTM_MULTISTART_FUSE", "2")  # 5 starts → refills
+
+    def run(multichip):
+        if multichip:
+            monkeypatch.setenv("MTM_MULTICHIP", "1")
+        else:
+            monkeypatch.delenv("MTM_MULTICHIP", raising=False)
+        np.random.seed(77)
+        mdl, objs = MMLinGaussSS_marginalizable(
+            n_clusters=3, states=z, observations=x, random_seed=13
+        ).train_with_multiple_random_starts(
+            n_starts=5,
+            use_cache=False,
+            fast=True,
+            return_objectives=True,
+        )
+        return np.asarray(mdl.cluster_assignment), np.asarray(objs)
+
+    a1, o1 = run(False)
+    a2, o2 = run(True)
+    np.testing.assert_array_equal(a2, a1)
+    np.testing.assert_allclose(o2, o1, rtol=1e-12)
