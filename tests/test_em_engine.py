@@ -363,3 +363,31 @@ def test_complete_data_loglik_masked_kalman_matches_dense():
         )
     )
     np.testing.assert_allclose(q_filter, q_dense, rtol=1e-10)
+
+
+def test_train_em_masked_kalman_all_nan_instance():
+    """An all-NaN instance contributes logpdf exactly 0 to every cluster
+    (the reference's empty-marginal convention) — the filter trainer must
+    still match train_em bit-for-bit with one present."""
+    z, x, labels, true = _make_mixture_data(seed=14, n=150, T=5)
+    rng = np.random.default_rng(8)
+    z[rng.random(z.shape) < 0.1] = np.nan
+    x[rng.random(x.shape) < 0.1] = np.nan
+    z[:, 0], x[:, 0] = np.nan, np.nan  # one fully-missing instance
+    v, patterns, pid = _packed(z, x)
+    params0 = _random_init_params(rng, 2, 2, 3)
+    assign0 = jnp.asarray(rng.integers(0, 2, size=150), jnp.int32)
+
+    p_ref, a_ref, it_ref, st_ref = em.train_em(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), v, patterns, pid,
+        n_steps=40,
+    )
+    p_k, a_k, it_k, st_k = em.train_em_masked_kalman(
+        params0, assign0, jnp.asarray(z), jnp.asarray(x), n_steps=40
+    )
+    assert (int(st_ref), int(it_ref)) == (int(st_k), int(it_k))
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_k))
+    for fa, fb in zip(p_ref, p_k):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
+        )
