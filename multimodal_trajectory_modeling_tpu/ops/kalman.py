@@ -184,6 +184,109 @@ def _bwd_solve(L, y, D):
     return x
 
 
+def masked_filter_step(
+    mu, P, z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d: int, l: int
+):
+    """One partial-observation filter step on generic LANE ARRAYS.
+
+    The channel containers are plain Python lists — ``mu`` (d entries),
+    ``P`` (d×d nested), ``z_t``/``oz_t`` (d), ``x_t``/``ox_t`` (l) — whose
+    elements are identically-shaped arrays: ``(n,)`` XLA lane vectors in
+    :func:`kalman_masked_logliks`, ``(8, lanes)`` VMEM tiles in the Pallas
+    kernel (ops/pallas_kalman.py).  Model parameters ``Hs/As/Gs/Ls`` are
+    nested Python lists of SCALARS (traced array scalars or SMEM reads),
+    so the same unrolled algebra serves both backends and parity between
+    them is structural rather than re-derived.
+
+    Missing coordinates (``o* == 0``) are decoupled by zeroing the
+    corresponding innovation rows/cols and planting unit dummy variances;
+    only observed coordinates contribute to the 2π term.  Returns
+    ``(mu_next, P_next, ll_delta)``.
+    """
+    D = d + l
+    ozr, oxr = list(oz_t), list(ox_t)
+    # PH (d×l), HPH (l×l) from the current P
+    PH = [
+        [sum(P[i][k] * Hs[k][b] for k in range(d)) for b in range(l)]
+        for i in range(d)
+    ]
+    HPH = [
+        [sum(Hs[k][a] * PH[k][b] for k in range(d)) for b in range(l)]
+        for a in range(l)
+    ]
+    # innovation covariance Σ (D×D) with unit dummies
+    Sig = [[None] * D for _ in range(D)]
+    for a_ in range(d):
+        for b_ in range(d):
+            Sig[a_][b_] = ozr[a_] * ozr[b_] * P[a_][b_]
+        Sig[a_][a_] = Sig[a_][a_] + (1.0 - ozr[a_])
+    for a_ in range(d):
+        for b_ in range(l):
+            v = ozr[a_] * oxr[b_] * PH[a_][b_]
+            Sig[a_][d + b_] = v
+            Sig[d + b_][a_] = v
+    for a_ in range(l):
+        for b_ in range(l):
+            Sig[d + a_][d + b_] = oxr[a_] * oxr[b_] * (
+                HPH[a_][b_] + Ls[a_][b_]
+            )
+        Sig[d + a_][d + a_] = Sig[d + a_][d + a_] + (1.0 - oxr[a_])
+
+    # innovation (masked coords -> 0 exactly)
+    mux = [sum(mu[i] * Hs[i][b] for i in range(d)) for b in range(l)]
+    e = [ozr[a_] * (z_t[a_] - mu[a_]) for a_ in range(d)] + [
+        oxr[b_] * (x_t[b_] - mux[b_]) for b_ in range(l)
+    ]
+
+    Lch = _list_chol(Sig, D)
+    w = _fwd_solve(Lch, e, D)
+    logdet = sum(jnp.log(Lch[i][i]) for i in range(D)) * 2.0
+    quad = sum(wi * wi for wi in w)
+    nobs = sum(ozr) + sum(oxr)
+    ll_delta = -0.5 * (logdet + quad + nobs * _LOG_2PI)
+
+    # gain K = P M Σ⁻¹ (d×D); PM = [P·diag(oz), PH·diag(ox)]
+    PM = [
+        [P[i][a_] * ozr[a_] for a_ in range(d)]
+        + [PH[i][b_] * oxr[b_] for b_ in range(l)]
+        for i in range(d)
+    ]
+    K = []
+    for i in range(d):
+        yi = _fwd_solve(Lch, PM[i], D)
+        K.append(_bwd_solve(Lch, yi, D))
+    mu_post = [
+        mu[i] + sum(e[a_] * K[i][a_] for a_ in range(D)) for i in range(d)
+    ]
+    P_post = [
+        [
+            P[i][j] - sum(K[i][a_] * PM[j][a_] for a_ in range(D))
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    # predict (row convention: z' = z A + w)
+    mu_next = [
+        sum(mu_post[i] * As[i][j] for i in range(d)) for j in range(d)
+    ]
+    AP = [
+        [sum(As[k][i] * P_post[k][j] for k in range(d)) for j in range(d)]
+        for i in range(d)
+    ]
+    P_next = [
+        [
+            sum(AP[i][k] * As[k][j] for k in range(d)) + Gs[i][j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    P_next = [
+        [0.5 * (P_next[i][j] + P_next[j][i]) for j in range(d)]
+        for i in range(d)
+    ]
+    return mu_next, P_next, ll_delta
+
+
 @functools.partial(jax.jit, static_argnames=("unroll",))
 def kalman_masked_logliks(
     z: jax.Array,  # (T, n, d) with arbitrary per-coordinate NaNs
@@ -244,108 +347,18 @@ def kalman_masked_logliks(
     ox = jnp.isfinite(x).astype(dtype).transpose(0, 2, 1)
 
     def one_cluster(mc, Sc, Ac, Gc, Hc, Lc):
+        Hs = [[Hc[i, b] for b in range(l)] for i in range(d)]
+        As = [[Ac[i, j] for j in range(d)] for i in range(d)]
+        Gs = [[Gc[i, j] for j in range(d)] for i in range(d)]
+        Ls = [[Lc[a, b] for b in range(l)] for a in range(l)]
+
         def step(carry, inp):
             mu, P, ll = carry  # lists: mu (d of (n,)), P (d×d of (n,))
             z_t, x_t, oz_t, ox_t = inp  # (d, n)/(l, n) slabs
-
-            ozr = [oz_t[a] for a in range(d)]
-            oxr = [ox_t[b] for b in range(l)]
-            # PH (d×l), HPH (l×l) from the current P
-            PH = [
-                [
-                    sum(P[i][k] * Hc[k, b] for k in range(d))
-                    for b in range(l)
-                ]
-                for i in range(d)
-            ]
-            HPH = [
-                [
-                    sum(Hc[k, a] * PH[k][b] for k in range(d))
-                    for b in range(l)
-                ]
-                for a in range(l)
-            ]
-            # innovation covariance Σ (D×D) with unit dummies
-            Sig = [[None] * D for _ in range(D)]
-            for a_ in range(d):
-                for b_ in range(d):
-                    Sig[a_][b_] = ozr[a_] * ozr[b_] * P[a_][b_]
-                Sig[a_][a_] = Sig[a_][a_] + (1.0 - ozr[a_])
-            for a_ in range(d):
-                for b_ in range(l):
-                    v = ozr[a_] * oxr[b_] * PH[a_][b_]
-                    Sig[a_][d + b_] = v
-                    Sig[d + b_][a_] = v
-            for a_ in range(l):
-                for b_ in range(l):
-                    Sig[d + a_][d + b_] = oxr[a_] * oxr[b_] * (
-                        HPH[a_][b_] + Lc[a_, b_]
-                    )
-                Sig[d + a_][d + a_] = Sig[d + a_][d + a_] + (1.0 - oxr[a_])
-
-            # innovation (masked coords -> 0 exactly)
-            mux = [
-                sum(mu[i] * Hc[i, b] for i in range(d)) for b in range(l)
-            ]
-            e = [ozr[a_] * (z_t[a_] - mu[a_]) for a_ in range(d)] + [
-                oxr[b_] * (x_t[b_] - mux[b_]) for b_ in range(l)
-            ]
-
-            Lch = _list_chol(Sig, D)
-            w = _fwd_solve(Lch, e, D)
-            logdet = sum(jnp.log(Lch[i][i]) for i in range(D)) * 2.0
-            quad = sum(wi * wi for wi in w)
-            nobs = sum(ozr) + sum(oxr)
-            ll = ll - 0.5 * (logdet + quad + nobs * _LOG_2PI)
-
-            # gain K = P M Σ⁻¹ (d×D); PM = [P·diag(oz), PH·diag(ox)]
-            PM = [
-                [P[i][a_] * ozr[a_] for a_ in range(d)]
-                + [PH[i][b_] * oxr[b_] for b_ in range(l)]
-                for i in range(d)
-            ]
-            K = []
-            for i in range(d):
-                yi = _fwd_solve(Lch, PM[i], D)
-                K.append(_bwd_solve(Lch, yi, D))
-            mu_post = [
-                mu[i] + sum(e[a_] * K[i][a_] for a_ in range(D))
-                for i in range(d)
-            ]
-            P_post = [
-                [
-                    P[i][j] - sum(K[i][a_] * PM[j][a_] for a_ in range(D))
-                    for j in range(d)
-                ]
-                for i in range(d)
-            ]
-            # predict (row convention: z' = z A + w)
-            mu_next = [
-                sum(mu_post[i] * Ac[i, j] for i in range(d))
-                for j in range(d)
-            ]
-            AP = [
-                [
-                    sum(Ac[k, i] * P_post[k][j] for k in range(d))
-                    for j in range(d)
-                ]
-                for i in range(d)
-            ]
-            P_next = [
-                [
-                    sum(AP[i][k] * Ac[k, j] for k in range(d)) + Gc[i, j]
-                    for j in range(d)
-                ]
-                for i in range(d)
-            ]
-            P_next = [
-                [
-                    0.5 * (P_next[i][j] + P_next[j][i])
-                    for j in range(d)
-                ]
-                for i in range(d)
-            ]
-            return (mu_next, P_next, ll), None
+            mu_next, P_next, dll = masked_filter_step(
+                mu, P, z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d, l
+            )
+            return (mu_next, P_next, ll + dll), None
 
         ones_n = jnp.ones((n,), dtype)
         mu0 = [mc[i] * ones_n for i in range(d)]
