@@ -273,6 +273,18 @@ def observed_logliks_kalman(
     )
 
 
+def _use_pallas_kalman() -> bool:
+    """Trace-time routing switch for the masked-filter E pass: the
+    Pallas grid kernel on TPU, the scalarized XLA scan elsewhere
+    (interpret-mode Pallas would crawl on CPU and the scan is already
+    exact there).  ``MTM_KALMAN_PALLAS=0`` disables the kernel."""
+    import os
+
+    if os.environ.get("MTM_KALMAN_PALLAS", "1") == "0":
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
 @jax.jit
 def masked_logliks_kalman(
     params: MixtureParams,
@@ -285,9 +297,22 @@ def masked_logliks_kalman(
     :func:`estep_logliks` when interior missingness rules out the Markov
     suffix factorization and T makes the dense (T(d+l))² joint
     infeasible.  Exact (equal to the dense marginalization in f64,
-    tested; better-conditioned at long T)."""
+    tested; better-conditioned at long T).
+
+    On TPU the pass runs as the Pallas grid kernel
+    (ops/pallas_kalman.py — same shared step algebra, state in VMEM,
+    measured ~an order of magnitude over the scalarized XLA filter);
+    elsewhere the XLA scan.  ``MTM_KALMAN_PALLAS=0`` forces the XLA
+    path."""
     from multimodal_trajectory_modeling_tpu.ops import kalman
 
+    if _use_pallas_kalman():
+        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
+
+        return pallas_kalman.kalman_masked_logliks_pallas(
+            z, x, params.m, params.S, params.A, params.G, params.H,
+            params.L,
+        )
     return kalman.kalman_masked_logliks(
         z, x, params.m, params.S, params.A, params.G, params.H, params.L
     )
@@ -985,7 +1010,16 @@ def train_em_masked_kalman(
     from multimodal_trajectory_modeling_tpu.ops import kalman
 
     C = params0.pi.shape[0]
+    n = z.shape[1]
     assign0 = assign0.astype(jnp.int32)
+
+    use_pallas = _use_pallas_kalman()
+    if use_pallas:
+        # pack ONCE outside the loop — a per-iteration pad would copy
+        # the whole batch every EM step
+        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
+
+        z4, x4, _tc, _bn = pallas_kalman.pack_masked_kalman(z, x, C)
 
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
@@ -1002,10 +1036,18 @@ def train_em_masked_kalman(
 
     def body(state):
         params, assign, i, status = state
-        ll = kalman.kalman_masked_logliks(
-            z, x,
-            params.m, params.S, params.A, params.G, params.H, params.L,
-        )
+        if use_pallas:
+            ll = pallas_kalman.kalman_masked_logliks_packed(
+                z4, x4,
+                params.m, params.S, params.A, params.G, params.H,
+                params.L, t_chunk=_tc, block_cols=_bn,
+            )[:, :n]
+        else:
+            ll = kalman.kalman_masked_logliks(
+                z, x,
+                params.m, params.S, params.A, params.G, params.H,
+                params.L,
+            )
         new_assign = assignments_from_logliks(params.pi, ll)
         switches = jnp.sum(new_assign != assign)
         counts = counts_from_assign(new_assign, C)

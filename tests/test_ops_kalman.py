@@ -3,6 +3,7 @@
 scale to T where the dense (T·l)² covariance cannot go."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from multimodal_trajectory_modeling_tpu import ops
@@ -205,3 +206,41 @@ def test_observed_kalman_long_T_masked_route():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_masked_kalman_matches_xla():
+    """The Pallas grid kernel (interpret mode, f64) must reproduce the
+    scalarized XLA masked filter on arbitrary interior missingness —
+    including n not a multiple of the row block, T not a multiple of the
+    chunk, fully-missing instances, and C=1."""
+    from multimodal_trajectory_modeling_tpu.ops.pallas_kalman import (
+        kalman_masked_logliks_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    for (T, n, d, l, C, tc, bc) in [
+        (3, 37, 2, 1, 1, 8, None),
+        (9, 1100, 2, 1, 3, 4, 128),  # 2 row blocks, T_pad > T
+        (17, 130, 4, 3, 2, 8, None),
+    ]:
+        z = rng.normal(size=(T, n, d))
+        x = rng.normal(size=(T, n, l))
+        z[rng.random(size=z.shape) < 0.3] = np.nan
+        x[rng.random(size=x.shape) < 0.3] = np.nan
+        z[:, 0] = np.nan
+        x[:, 0] = np.nan
+        m = rng.normal(size=(C, d))
+        A = rng.normal(scale=0.3, size=(C, d, d))
+        H = rng.normal(size=(C, d, l))
+        S = np.stack([np.eye(d) * 0.8] * C)
+        G = np.stack([np.eye(d) * 0.5] * C)
+        L = np.stack([np.eye(l) * 0.4 + 0.1] * C)
+        args = list(map(jnp.asarray, (z, x, m, S, A, G, H, L)))
+        want = np.asarray(kalman.kalman_masked_logliks(*args))
+        got = np.asarray(
+            kalman_masked_logliks_pallas(
+                *args, t_chunk=tc, block_cols=bc, interpret=True
+            )
+        )
+        assert got[:, 0] == pytest.approx(0.0, abs=0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
