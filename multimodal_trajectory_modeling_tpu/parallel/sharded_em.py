@@ -567,8 +567,21 @@ def train_em_masked_kalman_shardmap(
     def psum_tree(t):
         return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
 
+    use_pallas = em._use_pallas_kalman()
+
     def shard_fn(params0, assign0, z_l, x_l):
         assign0 = assign0.astype(jnp.int32)
+        n_l = z_l.shape[1]
+        if use_pallas:
+            # pack the local shard ONCE outside the EM loop (TPU route:
+            # the Pallas filter kernel, see em._use_pallas_kalman)
+            from multimodal_trajectory_modeling_tpu.ops import (
+                pallas_kalman,
+            )
+
+            z4, x4, _tc, _bn = pallas_kalman.pack_masked_kalman(
+                z_l, x_l, C
+            )
         n_total = jax.lax.psum(
             jnp.asarray(assign0.shape[0], z_l.dtype), axis
         )
@@ -598,10 +611,22 @@ def train_em_masked_kalman_shardmap(
 
         def body(state):
             params, assign, i, status = state
-            ll = kalman.kalman_masked_logliks(
-                z_l, x_l,
-                params.m, params.S, params.A, params.G, params.H, params.L,
-            )
+            if use_pallas:
+                from multimodal_trajectory_modeling_tpu.ops import (
+                    pallas_kalman,
+                )
+
+                ll = pallas_kalman.kalman_masked_logliks_packed(
+                    z4, x4,
+                    params.m, params.S, params.A, params.G, params.H,
+                    params.L, t_chunk=_tc, block_cols=_bn,
+                )[:, :n_l]
+            else:
+                ll = kalman.kalman_masked_logliks(
+                    z_l, x_l,
+                    params.m, params.S, params.A, params.G, params.H,
+                    params.L,
+                )
             new_assign = em.assignments_from_logliks(params.pi, ll)
             switches = jax.lax.psum(jnp.sum(new_assign != assign), axis)
             counts = jax.lax.psum(
