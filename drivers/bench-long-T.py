@@ -111,10 +111,13 @@ def time_markov(z, x, lens, T, params, iters=10):
 
 
 def time_kalman_masked(z, x, T, params, iters=10):
-    """(ms per (C, n) masked-filter log-likelihood evaluation, ms per full
-    EM iteration E+M) with ~30% interior per-coordinate missingness
-    injected on top of the batch — the training regime neither the
-    suffix-Markov kernel nor (past T≈64) the dense joint covers."""
+    """(ms per (C, n) masked-filter log-likelihood evaluation on the
+    ROUTED path — the Pallas grid kernel on TPU, the XLA scan elsewhere
+    — ms on the scalarized XLA filter explicitly, ms per full EM
+    iteration E+M on the routed path) with ~30% interior per-coordinate
+    missingness injected on top of the batch — the training regime
+    neither the suffix-Markov kernel nor (past T≈64) the dense joint
+    covers."""
     rng = np.random.default_rng(2)
     zm = np.asarray(z).copy()
     xm = np.asarray(x).copy()
@@ -130,6 +133,21 @@ def time_kalman_masked(z, x, T, params, iters=10):
     float(ll[0, 0])
     ll_ms = (time.perf_counter() - t0) / iters * 1e3
 
+    from multimodal_trajectory_modeling_tpu.ops import kalman as kops
+
+    xla_fn = jax.jit(
+        lambda p, zz, xx: kops.kalman_masked_logliks(
+            zz, xx, p.m, p.S, p.A, p.G, p.H, p.L
+        )
+    )
+    ll = xla_fn(params, zj, xj)
+    float(ll[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ll = xla_fn(params, zj, xj)
+    float(ll[0, 0])
+    xla_ms = (time.perf_counter() - t0) / iters * 1e3
+
     @jax.jit
     def em_step(params, zj, xj):
         ll = em.masked_logliks_kalman(params, zj, xj)
@@ -143,7 +161,7 @@ def time_kalman_masked(z, x, T, params, iters=10):
         p2, a2 = em_step(params, zj, xj)
     float(p2.A[0, 0, 0])
     em_ms = (time.perf_counter() - t0) / iters * 1e3
-    return ll_ms, em_ms
+    return ll_ms, xla_ms, em_ms
 
 
 def time_dense(z, x, v, patterns, pid, T, params, iters=10):
@@ -191,13 +209,13 @@ def main():
             L=jnp.asarray(np.stack([np.eye(D_O)] * C), jnp.float32),
         )
         mk = time_markov(z, x, lens, T, params)
-        ka, ka_em = time_kalman_masked(z, x, T, params)
+        ka, ka_xla, ka_em = time_kalman_masked(z, x, T, params)
         if T <= DENSE_T_MAX:
             dn = time_dense(z, x, v, patterns, pid, T, params)
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter   dense {dn:8.2f} ms/iter"
                 f"   ({dn/mk:.1f}x)   kalman-masked {ka:8.2f} ms/eval"
-                f" {ka_em:8.2f} ms/EM-iter",
+                f" (xla {ka_xla:.2f}) {ka_em:8.2f} ms/EM-iter",
                 flush=True,
             )
         else:
@@ -205,12 +223,14 @@ def main():
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter   dense —— "
                 f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))"
-                f"   kalman-masked {ka:8.2f} ms/eval {ka_em:8.2f} ms/EM-iter",
+                f"   kalman-masked {ka:8.2f} ms/eval (xla {ka_xla:.2f})"
+                f" {ka_em:8.2f} ms/EM-iter",
                 flush=True,
             )
         rows.append({"T": T, "markov_ms": round(mk, 2),
                      "dense_ms": None if dn is None else round(dn, 2),
                      "kalman_masked_ms": round(ka, 2),
+                     "kalman_masked_xla_ms": round(ka_xla, 2),
                      "kalman_em_ms": round(ka_em, 2)})
     print(json.dumps({"metric": "em_ms_per_iter_vs_T", "n": N, "rows": rows}))
 

@@ -264,10 +264,8 @@ def observed_logliks_kalman(
         z_none = jnp.full(
             (T, x.shape[1], params.m.shape[1]), jnp.nan, x.dtype
         )
-        return kalman.kalman_masked_logliks(
-            z_none, x,
-            params.m, params.S, params.A, params.G, params.H, params.L,
-        )
+        # routed entry: Pallas filter kernel on TPU, XLA scan elsewhere
+        return masked_logliks_kalman(params, z_none, x)
     return kalman.kalman_observed_logliks(
         x, lens, params.m, params.S, params.A, params.G, params.H, params.L
     )
