@@ -271,23 +271,52 @@ def observed_logliks_kalman(
     )
 
 
-def _use_pallas_kalman() -> bool:
-    """Trace-time routing switch for the masked-filter E pass: the
-    Pallas grid kernel on TPU, the scalarized XLA scan elsewhere
-    (interpret-mode Pallas would crawl on CPU and the scan is already
-    exact there).  ``MTM_KALMAN_PALLAS=0`` disables the kernel."""
+def _pallas_kalman_mode() -> str:
+    """Routing mode for the masked-filter E pass: ``"compiled"`` — the
+    Pallas grid kernel (TPU default); ``"off"`` — the scalarized XLA
+    scan (default off-TPU: interpret-mode Pallas would crawl and the
+    scan is already exact there); ``"interpret"`` — the kernel under the
+    Pallas interpreter (CPU test path: exercises the packed trainer
+    loops through the kernel end-to-end).  Env override:
+    ``MTM_KALMAN_PALLAS = 0 | interpret``.  Callers resolve this
+    OUTSIDE their jitted impls and pass it as a static argument, so
+    changing the env between calls cannot collide with a cached trace."""
     import os
 
-    if os.environ.get("MTM_KALMAN_PALLAS", "1") == "0":
-        return False
-    return jax.devices()[0].platform == "tpu"
+    v = os.environ.get("MTM_KALMAN_PALLAS", "")
+    if v == "0":
+        return "off"
+    if v == "interpret":
+        return "interpret"
+    return (
+        "compiled" if jax.devices()[0].platform == "tpu" else "off"
+    )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _masked_logliks_kalman_impl(
+    params: MixtureParams, z: jax.Array, x: jax.Array, *, mode: str
+) -> jax.Array:
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    if mode != "off":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
+
+        return pallas_kalman.kalman_masked_logliks_pallas(
+            z, x, params.m, params.S, params.A, params.G, params.H,
+            params.L, interpret=(mode == "interpret"),
+        )
+    return kalman.kalman_masked_logliks(
+        z, x, params.m, params.S, params.A, params.G, params.H, params.L
+    )
+
+
 def masked_logliks_kalman(
     params: MixtureParams,
     z: jax.Array,  # (T, n, d) arbitrary per-coordinate NaNs
     x: jax.Array,  # (T, n, l)
+    *,
+    pallas_mode: str | None = None,
 ) -> jax.Array:
     """``(C, n)`` joint log-likelihoods of the observed entries under
     ARBITRARY missingness via the O(T) partial-observation filter
@@ -298,38 +327,35 @@ def masked_logliks_kalman(
     tested; better-conditioned at long T).
 
     On TPU the pass runs as the Pallas grid kernel
-    (ops/pallas_kalman.py — same shared step algebra, state in VMEM,
-    measured ~an order of magnitude over the scalarized XLA filter);
-    elsewhere the XLA scan.  ``MTM_KALMAN_PALLAS=0`` forces the XLA
-    path."""
-    from multimodal_trajectory_modeling_tpu.ops import kalman
-
-    if _use_pallas_kalman():
-        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
-
-        return pallas_kalman.kalman_masked_logliks_pallas(
-            z, x, params.m, params.S, params.A, params.G, params.H,
-            params.L,
-        )
-    return kalman.kalman_masked_logliks(
-        z, x, params.m, params.S, params.A, params.G, params.H, params.L
-    )
+    (ops/pallas_kalman.py — same shared step algebra, state in VMEM);
+    elsewhere the XLA scan.  See :func:`_pallas_kalman_mode`."""
+    mode = _pallas_kalman_mode() if pallas_mode is None else pallas_mode
+    return _masked_logliks_kalman_impl(params, z, x, mode=mode)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _cdl_masked_kalman_impl(
+    params: MixtureParams, z: jax.Array, x: jax.Array, *, mode: str
+) -> jax.Array:
+    ll = _masked_logliks_kalman_impl(params, z, x, mode=mode)
+    a = assignments_from_logliks(params.pi, ll)
+    picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
+    return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
+
+
 def complete_data_loglik_masked_kalman(
     params: MixtureParams,
     z: jax.Array,  # (T, n, d) arbitrary per-coordinate NaNs
     x: jax.Array,  # (T, n, l)
+    *,
+    pallas_mode: str | None = None,
 ) -> jax.Array:
     """Hard-assignment expected complete-data log-likelihood Q with a
     fresh E assignment, evaluated through the exact O(T) masked filter —
     the general-missingness analogue of :func:`complete_data_loglik`
     (reference ``e_complete_data_log_lik``, mixture:579-624)."""
-    ll = masked_logliks_kalman(params, z, x)
-    a = assignments_from_logliks(params.pi, ll)
-    picked = jnp.take_along_axis(ll, a[None, :], axis=0)[0]
-    return jnp.sum(jnp.log(params.pi)[a]) + jnp.sum(picked)
+    mode = _pallas_kalman_mode() if pallas_mode is None else pallas_mode
+    return _cdl_masked_kalman_impl(params, z, x, mode=mode)
 
 
 def assignments_from_logliks(pi: jax.Array, ll: jax.Array) -> jax.Array:
@@ -972,10 +998,6 @@ def train_em(
     return params_f, assign_f, iters, status
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_steps", "reg_mode", "alpha", "min_members"),
-)
 def train_em_masked_kalman(
     params0: MixtureParams,
     assign0: jax.Array,
@@ -986,6 +1008,7 @@ def train_em_masked_kalman(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     min_members: int = 3,
+    pallas_mode: str | None = None,
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """One full EM run under ARBITRARY per-coordinate missingness with an
     O(T) E step — the long-T trainer for interior missingness, where the
@@ -994,24 +1017,50 @@ def train_em_masked_kalman(
     and the suffix-Markov factorization does not apply.
 
     E step: exact partial-observation Kalman densities
-    (:func:`ops.kalman.kalman_masked_logliks` — equal to the dense
-    drop-rows/cols marginal to ~1e-12 in f64).  M step: the same masked
-    sufficient-statistics path every other trainer uses (:func:`mstep` —
-    any-NaN row pairs dropped per factor, reference regress semantics).
-    Status protocol, init-abort guard and stop conditions are identical
-    to :func:`train_em` (reference mixture:1310-1366); on suffix-only
-    missingness it reproduces ``train_em``'s trajectory exactly (the
-    filter marginal equals the joint marginal).
+    (:func:`ops.kalman.kalman_masked_logliks`, on TPU the Pallas grid
+    kernel — equal to the dense drop-rows/cols marginal to ~1e-12 in
+    f64).  M step: the same masked sufficient-statistics path every
+    other trainer uses (:func:`mstep` — any-NaN row pairs dropped per
+    factor, reference regress semantics).  Status protocol, init-abort
+    guard and stop conditions are identical to :func:`train_em`
+    (reference mixture:1310-1366); on suffix-only missingness it
+    reproduces ``train_em``'s trajectory exactly (the filter marginal
+    equals the joint marginal).
 
     Returns ``(params, assign, n_iterations, status)``.
     """
+    mode = _pallas_kalman_mode() if pallas_mode is None else pallas_mode
+    return _train_em_masked_kalman_impl(
+        params0, assign0, z, x, n_steps=n_steps, reg_mode=reg_mode,
+        alpha=alpha, min_members=min_members, pallas_mode=mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps", "reg_mode", "alpha", "min_members", "pallas_mode",
+    ),
+)
+def _train_em_masked_kalman_impl(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,
+    x: jax.Array,
+    *,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+    pallas_mode: str,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     from multimodal_trajectory_modeling_tpu.ops import kalman
 
     C = params0.pi.shape[0]
     n = z.shape[1]
     assign0 = assign0.astype(jnp.int32)
 
-    use_pallas = _use_pallas_kalman()
+    use_pallas = pallas_mode != "off"
     if use_pallas:
         # pack ONCE outside the loop — a per-iteration pad would copy
         # the whole batch every EM step
@@ -1039,6 +1088,7 @@ def train_em_masked_kalman(
                 z4, x4,
                 params.m, params.S, params.A, params.G, params.H,
                 params.L, t_chunk=_tc, block_cols=_bn,
+                interpret=(pallas_mode == "interpret"),
             )[:, :n]
         else:
             ll = kalman.kalman_masked_logliks(

@@ -534,10 +534,6 @@ def train_em_markov_shardmap(
     )(params0, assign0, z, x, lens)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
-)
 def train_em_masked_kalman_shardmap(
     params0,
     assign0,
@@ -549,6 +545,7 @@ def train_em_masked_kalman_shardmap(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     min_members: int = 3,
+    pallas_mode: str | None = None,
 ):
     """Data-parallel O(T) EM under ARBITRARY missingness inside
     ``shard_map``: the exact partial-observation Kalman densities
@@ -559,6 +556,36 @@ def train_em_masked_kalman_shardmap(
     tuples.  Equal to the single-device
     :func:`..models.em.train_em_masked_kalman` up to psum reassociation
     (exact on the f64 test mesh)."""
+    mode = (
+        em._pallas_kalman_mode() if pallas_mode is None else pallas_mode
+    )
+    return _train_em_masked_kalman_shardmap_impl(
+        params0, assign0, z, x, mesh=mesh, n_steps=n_steps,
+        reg_mode=reg_mode, alpha=alpha, min_members=min_members,
+        pallas_mode=mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_steps", "reg_mode", "alpha", "min_members",
+        "pallas_mode",
+    ),
+)
+def _train_em_masked_kalman_shardmap_impl(
+    params0,
+    assign0,
+    z,
+    x,
+    *,
+    mesh: Mesh,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+    pallas_mode: str,
+):
     from multimodal_trajectory_modeling_tpu.ops import kalman
 
     C = params0.pi.shape[0]
@@ -567,14 +594,14 @@ def train_em_masked_kalman_shardmap(
     def psum_tree(t):
         return jax.tree.map(lambda a: jax.lax.psum(a, axis), t)
 
-    use_pallas = em._use_pallas_kalman()
+    use_pallas = pallas_mode != "off"
 
     def shard_fn(params0, assign0, z_l, x_l):
         assign0 = assign0.astype(jnp.int32)
         n_l = z_l.shape[1]
         if use_pallas:
             # pack the local shard ONCE outside the EM loop (TPU route:
-            # the Pallas filter kernel, see em._use_pallas_kalman)
+            # the Pallas filter kernel, see em._pallas_kalman_mode)
             from multimodal_trajectory_modeling_tpu.ops import (
                 pallas_kalman,
             )
@@ -620,6 +647,7 @@ def train_em_masked_kalman_shardmap(
                     z4, x4,
                     params.m, params.S, params.A, params.G, params.H,
                     params.L, t_chunk=_tc, block_cols=_bn,
+                    interpret=(pallas_mode == "interpret"),
                 )[:, :n_l]
             else:
                 ll = kalman.kalman_masked_logliks(

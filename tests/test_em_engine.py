@@ -391,3 +391,38 @@ def test_train_em_masked_kalman_all_nan_instance():
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-9, atol=1e-10
         )
+
+
+def test_train_em_masked_kalman_pallas_interpret_route():
+    """The FULL packed trainer loop through the Pallas filter kernel
+    (interpret mode — the exact program the TPU route compiles) must
+    reproduce the XLA-scan route bit-for-bit in f64: same status,
+    iterations, assignments, parameters and objective."""
+    z, x, labels, true = _make_mixture_data(seed=21, n=300, T=6)
+    rng = np.random.default_rng(9)
+    z[rng.random(z.shape) < 0.2] = np.nan
+    x[rng.random(x.shape) < 0.2] = np.nan
+    C, d, l = 2, 2, 3
+    params0 = _random_init_params(rng, C, d, l)
+    assign0 = jnp.asarray(rng.integers(0, C, size=300), jnp.int32)
+
+    zj, xj = jnp.asarray(z), jnp.asarray(x)
+    p_x, a_x, it_x, st_x = em.train_em_masked_kalman(
+        params0, assign0, zj, xj, n_steps=50, pallas_mode="off"
+    )
+    p_p, a_p, it_p, st_p = em.train_em_masked_kalman(
+        params0, assign0, zj, xj, n_steps=50, pallas_mode="interpret"
+    )
+    assert int(st_x) == int(st_p) and int(it_x) == int(it_p)
+    np.testing.assert_array_equal(np.asarray(a_x), np.asarray(a_p))
+    for fa, fb in zip(p_x, p_p):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-13
+        )
+    q_x = em.complete_data_loglik_masked_kalman(
+        p_x, zj, xj, pallas_mode="off"
+    )
+    q_p = em.complete_data_loglik_masked_kalman(
+        p_p, zj, xj, pallas_mode="interpret"
+    )
+    np.testing.assert_allclose(float(q_x), float(q_p), rtol=1e-12)
