@@ -491,6 +491,18 @@ def test_masked_kalman_shardmap_matches_unsharded(problem):
         np.testing.assert_allclose(
             np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-13
         )
+    # the TPU route — Pallas filter kernel per shard (interpret mode
+    # here) — must take the identical trajectory through shard_map
+    p_p, a_p, it_p, st_p = sharded_em.train_em_masked_kalman_shardmap(
+        params0, assign0, zj, xj, mesh=mesh, n_steps=25,
+        pallas_mode="interpret",
+    )
+    assert (int(st_ref), int(it_ref)) == (int(st_p), int(it_p))
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
+    for fa, fb in zip(p_ref, p_p):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-12, atol=1e-13
+        )
 
 
 def test_mixture_multistart_multichip_with_refills(problem, monkeypatch):
