@@ -531,6 +531,31 @@ def pack_markov_batch(
     return pallas_markov.pack_markov_u(z_t, x_t, T=T, d=d, l=l)
 
 
+def pack_markov_features(
+    u: jax.Array,  # (T·s, n) packed batch (pack_markov_batch)
+    lens: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    d: int,
+    l: int,
+    dtype=None,
+    interpret: bool = None,
+) -> jax.Array:
+    """Materialize the per-instance EM feature matrix Φ (Fc_pad, n_pad)
+    from the packed batch — one O(T) pass per fit; afterwards every EM
+    iteration reads Φ instead of rebuilding shift products
+    (:func:`emstep_markov` with ``phi=``).  Φ's row count (~1.4× the
+    packed batch's sublanes at the benchmark config) is T-independent,
+    so iteration cost decouples from trajectory length."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    return pallas_markov.markov_materialize_features(
+        u, lens, T=T, d=d, l=l, dtype=dtype, interpret=interpret
+    )
+
+
 def emstep_markov(
     params: MixtureParams,
     z_t: jax.Array,  # (T·d, n) transposed latent batch
@@ -544,6 +569,7 @@ def emstep_markov(
     alpha: float = 0.0,
     interpret: bool = None,
     u: jax.Array = None,  # (T·s, n) packed batch (pack_markov_batch)
+    phi: jax.Array = None,  # (Fc_pad, n_pad) features (pack_markov_features)
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """ONE fused EM iteration for suffix missingness: returns
     ``(new_params, assign, counts, switches)`` from a single kernel pass
@@ -555,7 +581,11 @@ def emstep_markov(
     f64; f32 at reassociation noise.
 
     Pass ``u`` (from :func:`pack_markov_batch`, hoisted out of the EM
-    loop) to skip the per-call packing read of the batch."""
+    loop) to skip the per-call packing read of the batch; pass ``phi``
+    (from :func:`pack_markov_features`) to skip the per-iteration feature
+    build entirely — the iteration then reads Φ into one score GEMM and
+    one statistics GEMM (HBM-bound, T-independent; f64-exact vs the
+    packed build)."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -563,6 +593,32 @@ def emstep_markov(
         interpret = jax.devices()[0].platform not in ("tpu",)
     d = params.m.shape[1]
     l = params.H.shape[2]
+    if phi is not None:
+        Wg = mops.markov_em_weights(
+            params.m, params.S, params.A, params.G, params.H, params.L
+        )
+        Wg = Wg.at[:, -1].add(jnp.log(params.pi))
+        assign, counts, switches, g, obj = (
+            pallas_markov.markov_em_from_features(
+                phi,
+                lens,
+                prev_assign,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=assign_mode,
+                interpret=interpret,
+            )
+        )
+        tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
+        n = lens.shape[0]
+        pi = counts.astype(Wg.dtype) / n
+        m0, S0 = rops.mean_cov_from_stats(istats)
+        A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+        H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+        new_params = MixtureParams(pi, m0, S0, A, G, H, L)
+        return new_params, assign, counts, switches
     # the packed kernel holds the (T·s, Bn) batch block plus its shifted
     # products in VMEM (block_n auto-shrinks with T·s); beyond this T the
     # grid-over-T kernels take over
@@ -1217,7 +1273,13 @@ def train_em_sorted(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "reg_mode", "alpha", "min_members"),
+    static_argnames=(
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+        "precompute",
+    ),
 )
 def train_em_markov(
     params0: MixtureParams,
@@ -1230,6 +1292,7 @@ def train_em_markov(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     min_members: int = 3,
+    precompute: bool = None,
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """:func:`train_em` for SUFFIX missingness via the fused Markov EM
     kernel — ONE kernel pass per iteration computes the E assignment and
@@ -1238,7 +1301,15 @@ def train_em_markov(
     lengths carry the validity); O(T) in time like the whole
     :mod:`..ops.markov` family.  Same training trajectory and status
     semantics as :func:`train_em`/:func:`train_em_sorted` (f64-identical;
-    f32 up to reassociation)."""
+    f32 up to reassociation).
+
+    ``precompute`` (default on, ``MTM_MARKOV_PRECOMP=0`` opts out)
+    materializes the per-instance feature matrix Φ once before the loop
+    (:func:`pack_markov_features`, ~1.4× the packed batch's memory) so
+    each iteration is a Φ-reading GEMM kernel instead of a shift-product
+    rebuild — f64-identical trajectories either way."""
+    import os as _os
+
     T, n, d = z.shape
     l = x.shape[-1]
     C = params0.pi.shape[0]
@@ -1250,6 +1321,19 @@ def train_em_markov(
     z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
     x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
     u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+    if precompute is None:
+        precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    # the materialization kernel shares the packed kernel's VMEM budget
+    # (it runs the same ACC build); past that T the per-iteration path
+    # already routes to the grid-over-T kernels
+    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    phi = (
+        pack_markov_features(
+            u, lens, T=T, d=d, l=l, dtype=z.dtype, interpret=interpret
+        )
+        if (precompute and packed_ok)
+        else None
+    )
 
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
@@ -1267,6 +1351,7 @@ def train_em_markov(
             alpha=alpha,
             interpret=interpret,
             u=u,
+            phi=phi,
         )
 
     params_m, _, _, _ = _emstep(params0, assign0, "prev")

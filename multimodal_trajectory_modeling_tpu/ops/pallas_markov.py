@@ -32,10 +32,13 @@ from jax.experimental import pallas as pl
 
 __all__ = [
     "markov_assign_suffix",
+    "markov_compact_spec",
+    "markov_em_from_features",
     "markov_em_fused",
     "markov_em_fused_longT",
     "markov_em_fused_packed",
     "markov_em_fused_packed_multi",
+    "markov_materialize_features",
     "markov_packed_spec",
     "pack_markov_u",
 ]
@@ -1133,3 +1136,238 @@ def markov_em_fused_longT(
 
     assign_out = jnp.where(valid, assign, C)[:n]
     return assign_out, counts, jnp.asarray(switches, jnp.int32), g, obj
+
+
+def markov_compact_spec(T: int, d: int, l: int):
+    """Compact layout for MATERIALIZED per-instance features.
+
+    The per-lane feature accumulator ``ACC`` of :func:`markov_packed_spec`
+    is the Σ-over-t reduction of the packed batch's shift products — it is
+    parameter-INDEPENDENT and (crucially) its row count ``Facc`` does not
+    grow with ``T``.  Only the rows that some canonical feature references
+    ever carry weight; the rest exist purely as shift-layout padding.
+    This spec names that referenced subset, in ascending ACC order:
+
+    - ``uniq``: the referenced ACC rows (``Fc`` of them),
+    - ``pos``:  canonical feature ``f`` → its row in the compact layout,
+    - ``Fc_pad``: ``Fc`` rounded up to the 8-sublane boundary.
+
+    Materializing ``Φ = ACC[uniq]`` once per fit (one selection GEMM per
+    batch tile, :func:`markov_materialize_features`) turns every later EM
+    iteration into :func:`markov_em_from_features` — a read of Φ feeding
+    one score GEMM and one statistics GEMM, with no shift-product build.
+    Dropping the never-referenced rows changes no arithmetic: their fold
+    weights are exact zeros, and removing ``0.0`` terms from a dot leaves
+    every partial sum bit-identical.
+    """
+    import numpy as np
+
+    _s, _ks, _Facc, rows = markov_packed_spec(T, d, l)
+    uniq = np.unique(rows)  # ascending — preserves ACC summation order
+    Fc = int(uniq.shape[0])
+    Fc_pad = 8 * ((Fc + 7) // 8)
+    pos = np.searchsorted(uniq, rows).astype(np.int64)
+    return Fc_pad, uniq, pos
+
+
+def _markov_feat_kernel(T: int, d: int, s: int, ks: tuple):
+    """Feature-materialization kernel: one shift-product ACC build per
+    batch tile, compacted to the referenced rows by a 0/1 selection GEMM
+    (static sublane gathers of ~100 single rows would rebuild the exact
+    sub-8-sublane concat bottleneck the packed layout removed)."""
+
+    def kernel(
+        u_ref,  # (T·s, Bn) packed sanitized batch
+        lens_ref,  # (1, Bn) int32
+        sel_ref,  # (Fc_pad, Facc) 0/1 row-selection matrix
+        phi_out,  # (Fc_pad, Bn)
+    ):
+        dtype = sel_ref.dtype
+        u = u_ref[:, :].astype(dtype)
+        lens = lens_ref[0, :]
+        acc = _packed_acc_build(u, lens, T=T, d=d, s=s, ks=ks)
+        phi_out[:, :] = jnp.dot(
+            sel_ref[:, :], acc, preferred_element_type=dtype
+        )
+
+    return kernel
+
+
+def markov_materialize_features(
+    u: jax.Array,  # (T·s, n) from pack_markov_u
+    lens: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    d: int,
+    l: int,
+    block_n: int = None,
+    dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Materialize the per-instance Markov EM features Φ (Fc_pad, n_pad).
+
+    One O(T) pass over the packed batch; Φ's row count is T-independent
+    (the time axis is reduced inside the build), so EM iterations driven
+    from Φ (:func:`markov_em_from_features`) cost the same at any T.
+    Build once per fit, outside the EM loop — the payoff is that the
+    per-iteration shift-product VPU work (the packed kernel's dominant
+    cost) is paid exactly once."""
+    s, ks, Facc, _rows = markov_packed_spec(T, d, l)
+    Fc_pad, uniq, _pos = markov_compact_spec(T, d, l)
+    if dtype is None:
+        dtype = jnp.float32 if u.dtype == jnp.bfloat16 else u.dtype
+    if block_n is None:
+        ts = T * s
+        block_n = 2048 if ts <= 128 else (1024 if ts <= 256 else 512)
+    Ts, n_pad = u.shape
+    assert Ts == T * s, (Ts, T, s)
+    n = lens.shape[0]
+    pad_u = (-n_pad) % block_n
+    if pad_u:
+        u = jnp.concatenate([u, jnp.zeros((Ts, pad_u), u.dtype)], axis=1)
+        n_pad += pad_u
+    if n_pad > n:
+        lens = jnp.concatenate([lens, jnp.zeros((n_pad - n,), lens.dtype)])
+    sel = (
+        jnp.zeros((Fc_pad, Facc), dtype)
+        .at[jnp.arange(uniq.shape[0]), jnp.asarray(uniq)]
+        .set(1.0)
+    )
+    return pl.pallas_call(
+        _markov_feat_kernel(T, d, s, ks),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((Ts, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((Fc_pad, Facc), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Fc_pad, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((Fc_pad, n_pad), dtype),
+        interpret=interpret,
+    )(u, lens.astype(jnp.int32).reshape(1, n_pad), sel)
+
+
+def _markov_em_feat_kernel(C: int, assign_mode: str):
+    """EM-iteration kernel over materialized features: stream one Φ tile
+    from HBM into a score GEMM + argmax + statistics GEMM.  No feature
+    build — the kernel is HBM-bound on the Φ read (the packed kernel is
+    VPU-bound on its per-iteration shift-product build)."""
+
+    def kernel(
+        phi_ref,  # (Fc_pad, Bn) materialized features
+        prev_ref,  # (1, Bn) int32; padded lanes carry -1
+        wc_ref,  # (C, Fc_pad) compact-folded E-score weights
+        assign_out,  # (1, Bn) int32
+        counts_out,  # (1, C) int32
+        switch_out,  # (1, 1) int32
+        macc_out,  # (Fc_pad, C) per-cluster summed feature rows
+        obj_out,  # (1, 1) float
+    ):
+        Bn = phi_ref.shape[1]
+        dtype = wc_ref.dtype
+        phi = phi_ref[:, :].astype(dtype)
+        prev = prev_ref[0, :]
+        validrow = prev >= 0
+        if assign_mode == "prev":
+            na = prev
+            sw_p = jnp.zeros((1, 1), jnp.int32)
+            obj_p = jnp.zeros((1, 1), dtype)
+        else:
+            scores = jnp.dot(
+                wc_ref[:, :], phi, preferred_element_type=dtype
+            )  # (C, Bn)
+            na = jnp.argmax(scores, axis=0).astype(jnp.int32)
+            sw_p = jnp.sum(
+                ((na != prev) & validrow).astype(jnp.int32)
+            ).reshape(1, 1)
+            best = jnp.max(scores, axis=0)
+            obj_p = jnp.sum(jnp.where(validrow, best, 0.0)).reshape(1, 1)
+
+        subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
+        onehot = (na[None, :] == subl) & validrow[None, :]
+        counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
+        mstats = jnp.dot(
+            phi, onehot.astype(dtype).T, preferred_element_type=dtype
+        )  # (Fc_pad, C)
+
+        assign_out[0, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+            macc_out[:, :] = jnp.zeros_like(macc_out)
+            obj_out[:, :] = jnp.zeros_like(obj_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+        macc_out[:, :] += mstats
+        obj_out[:, :] += obj_p
+
+    return kernel
+
+
+def markov_em_from_features(
+    phi: jax.Array,  # (Fc_pad, n_pad) from markov_materialize_features
+    lens: jax.Array,  # (n,) int32 — true batch size carrier
+    prev_assign: jax.Array,  # (n,) int32
+    Wg: jax.Array,  # (C, F) canonical weights (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    block_n: int = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """EM iteration over MATERIALIZED features — same contract as
+    :func:`markov_em_fused_packed` (assign, counts, switches, g (F, C),
+    objective), reading the per-fit Φ instead of rebuilding shift
+    products from the batch.  Iteration cost is T-independent.  Exact vs
+    the packed path in f64 (dropped slots carry weight 0.0; the kept
+    slots keep their relative summation order); f32 at reassociation
+    noise."""
+    Fc_pad, _uniq, pos = markov_compact_spec(T, d, l)
+    Fp, n_pad = phi.shape
+    assert Fp == Fc_pad, (Fp, Fc_pad)
+    n = lens.shape[0]
+    C = Wg.shape[0]
+    if block_n is None:
+        block_n = 4096 if n_pad % 4096 == 0 else 2048
+    assert n_pad % block_n == 0, (n_pad, block_n)
+    pos_j = jnp.asarray(pos)
+    wc = jnp.zeros((C, Fc_pad), Wg.dtype).at[:, pos_j].add(Wg)
+    if n_pad > n:
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((n_pad - n,), -1, jnp.int32)]
+        )
+    a_out, c_out, w_out, macc, o_out = pl.pallas_call(
+        _markov_em_feat_kernel(C, assign_mode),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((Fc_pad, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((C, Fc_pad), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Fc_pad, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Fc_pad, C), Wg.dtype),
+            jax.ShapeDtypeStruct((1, 1), Wg.dtype),
+        ),
+        interpret=interpret,
+    )(
+        phi,
+        prev_assign.astype(jnp.int32).reshape(1, n_pad),
+        wc,
+    )
+    g = macc[pos_j, :]
+    return a_out[0, :n], c_out[0], w_out[0, 0], g, o_out[0, 0]

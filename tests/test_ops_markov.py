@@ -390,3 +390,77 @@ def test_one_dispatch_fori_loop_matches_host_chained_steps():
         np.testing.assert_allclose(
             np.asarray(leaf_l), np.asarray(leaf_h), rtol=1e-12, atol=1e-14
         )
+
+
+def test_markov_em_from_features_matches_packed():
+    """The materialized-feature route (one-time Φ build via
+    markov_materialize_features + per-iteration GEMM-only kernel) must
+    reproduce the packed shift-product kernel in f64 interpret mode —
+    both argmax and prev modes: assignment/counts/switches exactly,
+    statistics and objective to f64 reassociation tightness."""
+    from multimodal_trajectory_modeling_tpu.ops import (
+        markov as mops,
+        pallas_markov as pm,
+    )
+
+    rng = np.random.default_rng(31)
+    C, T, n, d, l = 3, 6, 300, 2, 3
+    z, x, lens, params_t = _mixture(32, C=C, T=T, n=n, d=d, l=l)
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    Wg = mops.markov_em_weights(*params_t)
+    Wg = Wg.at[:, -1].add(jnp.log(pi))
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+    u = pm.pack_markov_u(z_t, x_t, T=T, d=d, l=l, pad_to=128)
+    phi = pm.markov_materialize_features(
+        u, lens, T=T, d=d, l=l, interpret=True, block_n=128
+    )
+    Fc_pad, uniq, pos = pm.markov_compact_spec(T, d, l)
+    assert phi.shape[0] == Fc_pad and pos.shape[0] == Wg.shape[1]
+    for mode in ("argmax", "prev"):
+        a0, c0, w0, g0, o0 = pm.markov_em_fused_packed(
+            u, lens, prev, Wg, T=T, d=d, l=l,
+            interpret=True, block_n=128, assign_mode=mode,
+        )
+        a1, c1, w1, g1, o1 = pm.markov_em_from_features(
+            phi, lens, prev, Wg, T=T, d=d, l=l,
+            interpret=True, block_n=128, assign_mode=mode,
+        )
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        assert int(w0) == int(w1)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(float(o1), float(o0), rtol=1e-12)
+
+
+def test_train_em_markov_precompute_matches():
+    """train_em_markov with the materialized-feature loop must produce
+    the same trained parameters, assignment, iteration count and status
+    as the per-iteration shift-product build (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    C, T, n, d, l = 3, 6, 400, 2, 3
+    z, x, lens, params_t = _mixture(41, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C, m=m, S=S, A=A, G=G, H=H, L=L
+    )
+    rng = np.random.default_rng(42)
+    assign0 = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    outs = {}
+    for pc in (False, True):
+        p, a, it, st = em.train_em_markov(
+            params0, assign0, z, x, lens, n_steps=20, precompute=pc
+        )
+        outs[pc] = (p, np.asarray(a), int(it), int(st))
+    p0, a0, it0, st0 = outs[False]
+    p1, a1, it1, st1 = outs[True]
+    assert (it0, st0) == (it1, st1)
+    np.testing.assert_array_equal(a0, a1)
+    for leaf0, leaf1 in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(leaf1), np.asarray(leaf0), rtol=1e-9, atol=1e-12
+        )
