@@ -142,13 +142,23 @@ def bench_tpu(z, x, v, patterns, pid):
     u = jax.jit(functools.partial(em.pack_markov_batch, T=T, d=D_H, l=D_O))(
         ztp, xtp
     )
+    # materialized per-instance feature matrix Φ — ALSO iteration
+    # -invariant (the shift-product feature build is parameter
+    # -independent), so the production loop builds it once (~1.75 ms
+    # device-side, ≈1.3 iterations' worth) and every EM iteration is a
+    # Φ-reading GEMM kernel (markov_em_from_features, HBM-bound) instead
+    # of a VPU-bound shift-product rebuild — same routing as
+    # train_em_markov's default precompute=True
+    phi = jax.jit(
+        functools.partial(em.pack_markov_features, T=T, d=D_H, l=D_O)
+    )(u, lens)
 
     @jax.jit
-    def run_iters(params, assign, ztp, xtp, lens, u):
+    def run_iters(params, assign, ztp, xtp, lens, phi):
         def body(_i, st):
             p, a = st
             p2, a2, _c, _w = em.emstep_markov(
-                p, ztp, xtp, lens, a, T=T, u=u, interpret=False
+                p, ztp, xtp, lens, a, T=T, phi=phi, interpret=False
             )
             return (p2, a2)
 
@@ -157,12 +167,12 @@ def bench_tpu(z, x, v, patterns, pid):
         )
 
     assign = jnp.zeros((v.shape[0],), jnp.int32)
-    params, assign = run_iters(params0, assign, ztp, xtp, lens, u)
+    params, assign = run_iters(params0, assign, ztp, xtp, lens, phi)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
     # host scalar copy is the only reliable completion barrier)
     t0 = time.perf_counter()
-    params, assign = run_iters(params, assign, ztp, xtp, lens, u)
+    params, assign = run_iters(params, assign, ztp, xtp, lens, phi)
     a00 = float(params.A[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(a00), "EM produced non-finite params"
@@ -248,22 +258,26 @@ _V5E_PEAK_F32_TFLOPS = 49.0  # one v5e chip, fp32 (bf16 peak is ~197)
 
 
 def _analytic_flops_per_iter(n):
-    """FLOPs one packed fused EM iteration executes per the kernel's
-    structure (ops/pallas_markov.py:markov_em_fused_packed): shift
-    products + t-reductions on the (T·s, n) packed batch, then the
-    score and statistics GEMMs over the Facc accumulator rows."""
+    """FLOPs one materialized-feature EM iteration executes per the
+    kernel's structure (ops/pallas_markov.py:markov_em_from_features):
+    the score GEMM and the per-cluster statistics GEMM over the compact
+    feature rows.  The kernel is HBM-bound on the Φ read (hbm_gbps is
+    the binding metric); the one-time feature build (~1.3 iterations'
+    worth) is excluded like the rest of the per-fit setup."""
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
-    s, ks, facc, _rows = pallas_markov.markov_packed_spec(T, D_H, D_O)
-    # A_k shift-product passes + the masked last-step pass + the AID
-    # reduce; B_k/AVM are recovered algebraically from these (small
-    # (s, n) corrections, not full passes)
-    n_product_passes = len(ks) + 2
-    per_row = (
-        2 * n_product_passes * T * s  # multiply + reduce-add
-        + 2 * 2 * C * facc  # scores GEMM + per-cluster stats GEMM
-    )
+    fc_pad, _uniq, _pos = pallas_markov.markov_compact_spec(T, D_H, D_O)
+    per_row = 2 * 2 * C * fc_pad  # scores GEMM + per-cluster stats GEMM
     return per_row * n
+
+
+def _phi_bytes_per_iter(n):
+    """Per-iteration HBM stream: the materialized feature matrix Φ
+    (f32), read once per EM iteration."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    fc_pad, _uniq, _pos = pallas_markov.markov_compact_spec(T, D_H, D_O)
+    return fc_pad * n * 4
 
 
 def main():
@@ -294,9 +308,10 @@ def main():
     tpu_iters_per_sec = bench_tpu(z, x, v, patterns, pid)
     flops = _analytic_flops_per_iter(N_FULL)
     tflops = flops * tpu_iters_per_sec / 1e12
-    # the kernel streams the packed (T·s, n) f32 batch from HBM once per
-    # iteration — end-to-end achieved bandwidth (includes dispatch floor)
-    hbm_gbps = (T * 8 * N_FULL * 4) * tpu_iters_per_sec / 1e9
+    # the kernel streams the materialized Φ (Fc_pad, n) f32 features from
+    # HBM once per iteration — end-to-end achieved bandwidth (includes
+    # dispatch floor); this, not FLOPs, is the binding resource
+    hbm_gbps = _phi_bytes_per_iter(N_FULL) * tpu_iters_per_sec / 1e9
 
     zb = np.asarray(z[:, :N_BASE], dtype=float)
     xb = np.asarray(x[:, :N_BASE], dtype=float)

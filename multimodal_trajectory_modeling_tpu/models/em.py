@@ -539,6 +539,7 @@ def pack_markov_features(
     d: int,
     l: int,
     dtype=None,
+    store_dtype=None,
     interpret: bool = None,
 ) -> jax.Array:
     """Materialize the per-instance EM feature matrix Φ (Fc_pad, n_pad)
@@ -552,7 +553,14 @@ def pack_markov_features(
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu",)
     return pallas_markov.markov_materialize_features(
-        u, lens, T=T, d=d, l=l, dtype=dtype, interpret=interpret
+        u,
+        lens,
+        T=T,
+        d=d,
+        l=l,
+        dtype=dtype,
+        store_dtype=store_dtype,
+        interpret=interpret,
     )
 
 
@@ -1327,9 +1335,24 @@ def train_em_markov(
     # (it runs the same ACC build); past that T the per-iteration path
     # already routes to the grid-over-T kernels
     packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    # MTM_MARKOV_PHI_BF16=1 stores Φ in bfloat16 — halves the per-iter
+    # HBM stream at a ~3-digit feature-precision cost (opt-in: trained
+    # parameters then deviate from the f32/f64 reference trajectory)
+    phi_store = (
+        jnp.bfloat16
+        if _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
+        else None
+    )
     phi = (
         pack_markov_features(
-            u, lens, T=T, d=d, l=l, dtype=z.dtype, interpret=interpret
+            u,
+            lens,
+            T=T,
+            d=d,
+            l=l,
+            dtype=z.dtype,
+            store_dtype=phi_store,
+            interpret=interpret,
         )
         if (precompute and packed_ok)
         else None

@@ -14,9 +14,25 @@ import sys
 
 import numpy as np
 import pandas as pd
+import pytest
 import scipy.stats as sp_stats
 
 _REPO = pathlib.Path(__file__).absolute().parent.parent
+
+
+def _artifact(name):
+    """Resolve a pipeline artifact: prefer a freshly generated copy under
+    ``posthoc/results`` (gitignored, produced by ``make experiments &&
+    make statistics``), falling back to the checked-in golden copy under
+    ``tests/golden``.  Skip — don't fail — on a scrubbed workspace where
+    neither exists yet."""
+    fresh = _REPO / "posthoc" / "results" / name
+    if fresh.exists():
+        return fresh
+    golden = pathlib.Path(__file__).absolute().parent / "golden" / name
+    if golden.exists():
+        return golden
+    pytest.skip(f"{name}: run `make experiments && make statistics`")
 
 
 def _load_contingency_module():
