@@ -578,6 +578,7 @@ def emstep_markov(
     interpret: bool = None,
     u: jax.Array = None,  # (T·s, n) packed batch (pack_markov_batch)
     phi: jax.Array = None,  # (Fc_pad, n_pad) features (pack_markov_features)
+    phi_layout: str = "compact",
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """ONE fused EM iteration for suffix missingness: returns
     ``(new_params, assign, counts, switches)`` from a single kernel pass
@@ -616,6 +617,7 @@ def emstep_markov(
                 d=d,
                 l=l,
                 assign_mode=assign_mode,
+                layout=phi_layout,
                 interpret=interpret,
             )
         )
@@ -1332,8 +1334,9 @@ def train_em_markov(
     if precompute is None:
         precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
     # the materialization kernel shares the packed kernel's VMEM budget
-    # (it runs the same ACC build); past that T the per-iteration path
-    # already routes to the grid-over-T kernels
+    # (it runs the same ACC build); past that T the grid-over-T feature
+    # kernel materializes the T-independent canonical layout instead, so
+    # EM iterations decouple from trajectory length either way
     packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
     # MTM_MARKOV_PHI_BF16=1 stores Φ in bfloat16 — halves the per-iter
     # HBM stream at a ~3-digit feature-precision cost (opt-in: trained
@@ -1343,20 +1346,29 @@ def train_em_markov(
         if _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
         else None
     )
-    phi = (
-        pack_markov_features(
-            u,
-            lens,
-            T=T,
-            d=d,
-            l=l,
-            dtype=z.dtype,
-            store_dtype=phi_store,
-            interpret=interpret,
-        )
-        if (precompute and packed_ok)
-        else None
-    )
+    phi = None
+    phi_layout = "compact"
+    if precompute:
+        if packed_ok:
+            phi = pack_markov_features(
+                u,
+                lens,
+                T=T,
+                d=d,
+                l=l,
+                dtype=z.dtype,
+                store_dtype=phi_store,
+                interpret=interpret,
+            )
+        else:
+            from multimodal_trajectory_modeling_tpu.ops import (
+                pallas_markov,
+            )
+
+            phi = pallas_markov.markov_materialize_features_longT(
+                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+            )
+            phi_layout = "canonical"
 
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
@@ -1375,6 +1387,7 @@ def train_em_markov(
             interpret=interpret,
             u=u,
             phi=phi,
+            phi_layout=phi_layout,
         )
 
     params_m, _, _, _ = _emstep(params0, assign0, "prev")
@@ -1425,6 +1438,7 @@ def emstep_markov_multi(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     interpret: bool = None,
+    phi: jax.Array = None,  # (Fc_pad, n_pad) features (pack_markov_features)
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """ONE fused EM iteration for R independent restarts over the SAME
     batch (R-restart packed kernel
@@ -1437,7 +1451,10 @@ def emstep_markov_multi(
     (``u``) — multistart hoists it once for the whole sweep.
     ``force_prev`` puts individual slots in prev mode for this pass
     (a pool-scheduler insertion's initial M step — see
-    :func:`train_em_markov_pool`)."""
+    :func:`train_em_markov_pool`).  Pass ``phi``
+    (:func:`pack_markov_features`) to drive the iteration from the
+    materialized feature matrix instead — no per-iteration build, and
+    both GEMMs contract over the compact rows."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -1450,20 +1467,36 @@ def emstep_markov_multi(
         params.m, params.S, params.A, params.G, params.H, params.L
     )  # (R, C, F)
     Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
-    assign, counts, switches, g, obj = (
-        pallas_markov.markov_em_fused_packed_multi(
-            u,
-            lens,
-            prev_assign,
-            Wg,
-            T=T,
-            d=d,
-            l=l,
-            assign_mode=assign_mode,
-            force_prev=force_prev,
-            interpret=interpret,
+    if phi is not None:
+        assign, counts, switches, g, obj = (
+            pallas_markov.markov_em_from_features_multi(
+                phi,
+                lens,
+                prev_assign,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=assign_mode,
+                force_prev=force_prev,
+                interpret=interpret,
+            )
         )
-    )
+    else:
+        assign, counts, switches, g, obj = (
+            pallas_markov.markov_em_fused_packed_multi(
+                u,
+                lens,
+                prev_assign,
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=assign_mode,
+                force_prev=force_prev,
+                interpret=interpret,
+            )
+        )
 
     def solve_one(g_r, counts_r):
         tstats, mstats, istats = _unpack_markov_em_stats(g_r, d, l)
@@ -1507,10 +1540,21 @@ def train_em_markov_multi(
     R, C = params0.pi.shape
     assign0 = assign0.astype(jnp.int32)
 
+    import os as _os
+
     if u is None:
         z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
         x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
         u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    phi = (
+        pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
+        if (
+            packed_ok
+            and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+        )
+        else None
+    )
 
     counts0 = jax.vmap(counts_from_assign, in_axes=(0, None))(assign0, C)
     init_abort = jnp.min(counts0, axis=1) <= min_members  # (R,)
@@ -1525,6 +1569,7 @@ def train_em_markov_multi(
             assign_mode=mode,
             reg_mode=reg_mode,
             alpha=alpha,
+            phi=phi,
         )
 
     params_m, _, _, _, _ = _emstep(params0, assign0, "prev")
@@ -1589,6 +1634,7 @@ def _pool_window(
     force,  # (R,) int32 — 1 ⇒ slot's next pass is its initial M step
     lens,  # (n,) int32
     u,  # (T·s, n) packed batch
+    phi=None,  # (Fc_pad, n_pad) materialized features (optional)
     *,
     T: int,
     K: int,
@@ -1615,6 +1661,7 @@ def _pool_window(
                 force_prev=force,
                 reg_mode=reg_mode,
                 alpha=alpha,
+                phi=phi,
             )
         )
         fp = force > 0
@@ -1714,12 +1761,26 @@ def train_em_markov_pool(
             u=u,
         )
     else:
+        import os as _os
+
         if u is None:
             z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
             x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
             u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
         n_state = n
         lens_w, u_w = lens, u
+        # materialize Φ once for the whole pool (train_em_markov's
+        # default precompute, same env opt-out): every slot's iteration
+        # then reads Φ — no per-window feature build, half-width GEMMs
+        packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+        phi_w = (
+            pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
+            if (
+                packed_ok
+                and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+            )
+            else None
+        )
 
         def window(stack, assigns, status, iters, force):
             return _pool_window(
@@ -1730,6 +1791,7 @@ def train_em_markov_pool(
                 force,
                 lens_w,
                 u_w,
+                phi_w,
                 T=T,
                 K=K,
                 n_steps=n_steps,

@@ -34,6 +34,7 @@ __all__ = [
     "markov_assign_suffix",
     "markov_compact_spec",
     "markov_em_from_features",
+    "markov_em_from_features_multi",
     "markov_em_fused",
     "markov_em_fused_longT",
     "markov_em_fused_packed",
@@ -1172,6 +1173,18 @@ def markov_compact_spec(T: int, d: int, l: int):
     return Fc_pad, uniq, pos
 
 
+def _feature_layout(T: int, d: int, l: int, layout: str):
+    """(padded row count, canonical-feature→row map) for a Φ layout."""
+    import numpy as np
+
+    if layout == "compact":
+        Fc_pad, _uniq, pos = markov_compact_spec(T, d, l)
+        return Fc_pad, pos
+    assert layout == "canonical", layout
+    F = 4 * d * d + l * l + d * l + 2 * d + l + d + 2
+    return 8 * ((F + 7) // 8), np.arange(F, dtype=np.int64)
+
+
 def _markov_feat_kernel(T: int, d: int, s: int, ks: tuple):
     """Feature-materialization kernel: one shift-product ACC build per
     batch tile, compacted to the referenced rows by a 0/1 selection GEMM
@@ -1329,6 +1342,7 @@ def markov_em_from_features(
     l: int,
     assign_mode: str = "argmax",
     block_n: int = None,
+    layout: str = "compact",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """EM iteration over MATERIALIZED features — same contract as
@@ -1337,8 +1351,12 @@ def markov_em_from_features(
     products from the batch.  Iteration cost is T-independent.  Exact vs
     the packed path in f64 (dropped slots carry weight 0.0; the kept
     slots keep their relative summation order); f32 at reassociation
-    noise."""
-    Fc_pad, _uniq, pos = markov_compact_spec(T, d, l)
+    noise.
+
+    ``layout`` names Φ's row order: ``"compact"`` (the referenced ACC
+    rows of :func:`markov_materialize_features`) or ``"canonical"`` (the
+    g-layout rows of :func:`markov_materialize_features_longT`)."""
+    Fc_pad, pos = _feature_layout(T, d, l, layout)
     Fp, n_pad = phi.shape
     assert Fp == Fc_pad, (Fp, Fc_pad)
     n = lens.shape[0]
@@ -1387,3 +1405,286 @@ def markov_em_from_features(
     )
     g = macc[pos_j, :]
     return a_out[0, :n], c_out[0], w_out[0, 0], g, o_out[0, 0]
+
+
+def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
+    """R-restart twin of :func:`_markov_em_feat_kernel`: one Φ tile read
+    feeds the score/stat GEMMs of R independent restarts (rows c·R + r,
+    the :func:`_markov_em_packed_multi_kernel` layout)."""
+
+    def kernel(
+        phi_ref,  # (Fc_pad, Bn) materialized features (shared)
+        prev_ref,  # (R, Bn) int32; padded lanes carry -1
+        force_ref,  # (R, 1) int32; 1 ⇒ this slot takes prev (initial M)
+        wc_ref,  # (C·R, Fc_pad) compact-folded weights, row c·R + r
+        assign_out,  # (R, Bn) int32
+        counts_out,  # (1, C·R) int32, col c·R + r
+        switch_out,  # (1, R) int32
+        macc_out,  # (Fc_pad, C·R)
+        obj_out,  # (1, R) float
+    ):
+        Bn = phi_ref.shape[1]
+        dtype = wc_ref.dtype
+        phi = phi_ref[:, :].astype(dtype)
+        prev = prev_ref[:, :]  # (R, Bn)
+        validrow = prev >= 0
+        if assign_mode == "prev":
+            na = prev
+            sw_p = jnp.zeros((1, R), jnp.int32)
+            obj_p = jnp.zeros((1, R), dtype)
+        else:
+            scores = jnp.dot(
+                wc_ref[:, :], phi, preferred_element_type=dtype
+            )  # (C·R, Bn)
+            best = scores[:R, :]
+            na = jnp.zeros((R, Bn), jnp.int32)
+            for c in range(1, C):
+                cand = scores[c * R : (c + 1) * R, :]
+                upd = cand > best
+                na = jnp.where(upd, c, na)
+                best = jnp.where(upd, cand, best)
+            fp = force_ref[:, :] > 0  # (R, 1)
+            na = jnp.where(fp, prev, na)
+            sw_p = jnp.sum(
+                ((na != prev) & validrow).astype(jnp.int32), axis=1
+            ).reshape(1, R)
+            obj_p = jnp.sum(
+                jnp.where(validrow & jnp.logical_not(fp), best, 0.0),
+                axis=1,
+            ).reshape(1, R)
+
+        onehot = jnp.concatenate(
+            [((na == c) & validrow).astype(dtype) for c in range(C)],
+            axis=0,
+        )  # (C·R, Bn), row c·R + r
+        counts_p = jnp.sum(onehot, axis=1).astype(jnp.int32).reshape(
+            1, C * R
+        )
+        mstats = jnp.dot(
+            phi, onehot.T, preferred_element_type=dtype
+        )  # (Fc_pad, C·R)
+
+        assign_out[:, :] = jnp.where(validrow, na, C)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_out[:, :] = jnp.zeros_like(counts_out)
+            switch_out[:, :] = jnp.zeros_like(switch_out)
+            macc_out[:, :] = jnp.zeros_like(macc_out)
+            obj_out[:, :] = jnp.zeros_like(obj_out)
+
+        counts_out[:, :] += counts_p
+        switch_out[:, :] += sw_p
+        macc_out[:, :] += mstats
+        obj_out[:, :] += obj_p
+
+    return kernel
+
+
+def markov_em_from_features_multi(
+    phi: jax.Array,  # (Fc_pad, n_pad) from markov_materialize_features
+    lens: jax.Array,  # (n,) int32 — true batch size carrier
+    prev_assign: jax.Array,  # (R, n) int32
+    Wg: jax.Array,  # (R, C, F) canonical weights (+ log π folded)
+    *,
+    T: int,
+    d: int,
+    l: int,
+    assign_mode: str = "argmax",
+    force_prev: jax.Array = None,  # (R,) int32/bool
+    block_n: int = None,
+    layout: str = "compact",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """R-restart EM iteration over MATERIALIZED features — the
+    :func:`markov_em_fused_packed_multi` contract driven from Φ: the
+    per-iteration shift-product build disappears entirely and both GEMMs
+    contract over the compact rows (about half of Facc), so a pool
+    multi-iteration costs roughly the Φ read plus the C·R-row GEMMs."""
+    Fc_pad, pos = _feature_layout(T, d, l, layout)
+    Fp, n_pad = phi.shape
+    assert Fp == Fc_pad, (Fp, Fc_pad)
+    R, C, F = Wg.shape
+    assert prev_assign.shape[0] == R, (prev_assign.shape, R)
+    n = lens.shape[0]
+    if block_n is None:
+        # the (C·R, Bn) scores and onehot tiles dominate VMEM at large R
+        # — cap the lane block so they fit the ~16 MB scoped budget
+        budget = 10 * 2**20
+        block_n = next(
+            (
+                b
+                for b in (8192, 4096, 2048, 1024, 512)
+                if n_pad % b == 0
+                and (2 * C * R + Fc_pad + R) * b * 4 <= budget
+            ),
+            512,
+        )
+    assert n_pad % block_n == 0, (n_pad, block_n)
+    pos_j = jnp.asarray(pos)
+    # row c·R + r  ←  Wg[r, c]
+    w_cr = jnp.transpose(Wg, (1, 0, 2)).reshape(C * R, F)
+    wc = jnp.zeros((C * R, Fc_pad), Wg.dtype).at[:, pos_j].add(w_cr)
+    if n_pad > n:
+        prev_assign = jnp.concatenate(
+            [prev_assign, jnp.full((R, n_pad - n), -1, jnp.int32)], axis=1
+        )
+    if force_prev is None:
+        force_prev = jnp.zeros((R,), jnp.int32)
+    a_out, c_out, w_out, macc, o_out = pl.pallas_call(
+        _markov_em_feat_multi_kernel(C, R, assign_mode),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((Fc_pad, block_n), lambda i: (0, i)),
+            pl.BlockSpec((R, block_n), lambda i: (0, i)),
+            pl.BlockSpec((R, 1), lambda i: (0, 0)),
+            pl.BlockSpec((C * R, Fc_pad), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, C * R), lambda i: (0, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, 0)),
+            pl.BlockSpec((Fc_pad, C * R), lambda i: (0, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, C * R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((Fc_pad, C * R), Wg.dtype),
+            jax.ShapeDtypeStruct((1, R), Wg.dtype),
+        ),
+        interpret=interpret,
+    )(
+        phi,
+        prev_assign.astype(jnp.int32),
+        force_prev.astype(jnp.int32).reshape(R, 1),
+        wc,
+    )
+    # column c·R + r  →  (R, F, C) / (R, C)
+    g = macc[pos_j, :].reshape(F, C, R).transpose(2, 0, 1)
+    counts = c_out[0].reshape(C, R).T
+    return a_out[:, :n], counts, w_out[0], g, o_out[0]
+
+
+def _markov_feat_grid_kernel(T: int, d: int, l: int):
+    """Grid-over-T feature-materialization kernel: per (n-block, t) step
+    accumulate the canonical g-layout feature rows of
+    :func:`..markov.markov_em_features` into the Φ output block.  The
+    kron pieces are sub-8-sublane concats (the legacy kernel's VPU
+    bottleneck) — acceptable here because materialization runs ONCE per
+    fit; every EM iteration then reads Φ at T-independent cost."""
+    dd = d * d
+    F = 4 * dd + l * l + d * l + 2 * d + l + d + 2
+    o_g1, o_g2, o_g3 = 0, dd, 2 * dd
+    o_g4 = 3 * dd
+    o_g5 = o_g4 + l * l
+    o_g6 = o_g5 + d * l
+    o_g7 = o_g6 + dd
+    o_g8 = o_g7 + d
+    o_g9 = o_g8 + d
+    o_g10 = o_g9 + l
+    o_len = o_g10 + d
+    o_one = o_len + 1
+
+    def kernel(
+        z_ref,  # (1, d, Bn) time-slice t
+        zn_ref,  # (1, d, Bn) slice min(t+1, T-1)
+        x_ref,  # (1, l, Bn)
+        lens_ref,  # (1, Bn) int32
+        phi_out,  # (F_pad, Bn), accumulated over the T axis
+    ):
+        t = pl.program_id(1)
+        Bn = z_ref.shape[2]
+        dtype = z_ref.dtype
+        z_c = jnp.where(jnp.isfinite(z_ref[0]), z_ref[0], 0.0)
+        z_n = jnp.where(jnp.isfinite(zn_ref[0]), zn_ref[0], 0.0)
+        x_c = jnp.where(jnp.isfinite(x_ref[0]), x_ref[0], 0.0)
+        lens = lens_ref[0, :]
+
+        def kron(a_, b_):
+            return jnp.concatenate(
+                [a_[i : i + 1, :] * b_ for i in range(a_.shape[0])],
+                axis=0,
+            )
+
+        zz = kron(z_c, z_c)
+        vm_n = ((lens > t + 1) & (t < T - 1)).astype(dtype)[None, :]
+
+        @pl.when(t == 0)
+        def _():
+            phi_out[:, :] = jnp.zeros_like(phi_out)
+
+        phi_out[o_g1 : o_g1 + dd, :] += zz
+        phi_out[o_g2 : o_g2 + dd, :] += vm_n * zz
+        phi_out[o_g3 : o_g3 + dd, :] += kron(z_c, z_n * vm_n)
+        phi_out[o_g4 : o_g4 + l * l, :] += kron(x_c, x_c)
+        phi_out[o_g5 : o_g5 + d * l, :] += kron(z_c, x_c)
+        phi_out[o_g7 : o_g7 + d, :] += vm_n * z_c
+        phi_out[o_g8 : o_g8 + d, :] += z_c
+        phi_out[o_g9 : o_g9 + l, :] += x_c
+
+        @pl.when(t == 0)
+        def _():
+            phi_out[o_g6 : o_g6 + dd, :] += zz
+            phi_out[o_g10 : o_g10 + d, :] += z_c
+            phi_out[o_len : o_len + 1, :] += lens.astype(dtype)[None, :]
+            phi_out[o_one : o_one + 1, :] += jnp.ones((1, Bn), dtype)
+
+    return kernel
+
+
+def markov_materialize_features_longT(
+    z_t: jax.Array,  # (T·d, n) transposed latent batch (NaN-padded)
+    x_t: jax.Array,  # (T·l, n)
+    lens: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    d: int,
+    l: int,
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Materialize canonical-layout features Φ (F_pad, n_pad) for
+    ARBITRARY T — the grid-over-T twin of
+    :func:`markov_materialize_features` (whose packed ACC build caps at
+    T·s ≤ 512 of VMEM).  One O(T) grid pass per fit; with
+    ``layout="canonical"`` :func:`markov_em_from_features` then runs EM
+    iterations whose cost does not grow with T at all (Φ's row count is
+    the T-independent canonical feature count).  Φ accumulates across
+    grid steps, so it is stored in the compute dtype (no narrow-store
+    option here)."""
+    F_pad, _pos = _feature_layout(T, d, l, "canonical")
+    Td, n = z_t.shape
+    assert Td == T * d and x_t.shape == (T * l, n)
+    dtype = z_t.dtype
+    store_dtype = dtype
+    pad = (-n) % block_n
+    if pad:
+        z_t = jnp.concatenate(
+            [z_t, jnp.zeros((T * d, pad), dtype)], axis=1
+        )
+        x_t = jnp.concatenate(
+            [x_t, jnp.zeros((T * l, pad), x_t.dtype)], axis=1
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
+    n_pad = z_t.shape[1]
+    nb = n_pad // block_n
+    z3 = z_t.reshape(T, d, n_pad)
+    x3 = x_t.reshape(T, l, n_pad)
+    return pl.pallas_call(
+        _markov_feat_grid_kernel(T, d, l),
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, d, block_n), lambda j, t: (t, 0, j)),
+            pl.BlockSpec(
+                (1, d, block_n),
+                lambda j, t: (jnp.minimum(t + 1, T - 1), 0, j),
+            ),
+            pl.BlockSpec((1, l, block_n), lambda j, t: (t, 0, j)),
+            pl.BlockSpec((1, block_n), lambda j, t: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((F_pad, block_n), lambda j, t: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((F_pad, n_pad), store_dtype),
+        interpret=interpret,
+    )(z3, z3, x3, lens.astype(jnp.int32).reshape(1, n_pad))

@@ -276,3 +276,47 @@ def test_pool_edge_cases():
             jax.tree_util.tree_leaves(pg),
         ):
             np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+
+
+def test_from_features_multi_matches_packed_multi():
+    """The R-restart materialized-feature kernel must reproduce the
+    packed multi kernel in f64 interpret mode — argmax with a mixed
+    force_prev mask, and pure prev mode."""
+    rng = np.random.default_rng(11)
+    C, T, n, d, l, R = 3, 6, 300, 2, 3, 4
+    z, x, lens = _mixture_batch(12, C, T, n, d, l)
+    z_t = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+    x_t = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+    u = pallas_markov.pack_markov_u(z_t, x_t, T=T, d=d, l=l, pad_to=128)
+    phi = pallas_markov.markov_materialize_features(
+        u, lens, T=T, d=d, l=l, interpret=True, block_n=128
+    )
+    params = [_params_one(rng, C, d, l) for _ in range(R)]
+    prev = jnp.asarray(rng.integers(0, C, size=(R, n)), jnp.int32)
+    Wg = jnp.stack(
+        [
+            mops.markov_em_weights(
+                p.m, p.S, p.A, p.G, p.H, p.L
+            ).at[:, -1].add(jnp.log(p.pi))
+            for p in params
+        ]
+    )
+    force = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    for mode, fp in (("argmax", force), ("prev", None)):
+        a0, c0, w0, g0, o0 = pallas_markov.markov_em_fused_packed_multi(
+            u, lens, prev, Wg, T=T, d=d, l=l,
+            assign_mode=mode, force_prev=fp, interpret=True, block_n=128,
+        )
+        a1, c1, w1, g1, o1 = pallas_markov.markov_em_from_features_multi(
+            phi, lens, prev, Wg, T=T, d=d, l=l,
+            assign_mode=mode, force_prev=fp, interpret=True, block_n=128,
+        )
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o0), rtol=1e-12, atol=1e-12
+        )

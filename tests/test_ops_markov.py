@@ -464,3 +464,83 @@ def test_train_em_markov_precompute_matches():
         np.testing.assert_allclose(
             np.asarray(leaf1), np.asarray(leaf0), rtol=1e-9, atol=1e-12
         )
+
+
+def test_markov_materialize_features_longT_matches_xla_features():
+    """The grid-over-T feature-materialization kernel must equal the XLA
+    scan feature builder (ops/markov.py:markov_em_features) exactly in
+    f64 interpret mode, and the canonical-layout from-features iteration
+    must reproduce the grid-over-T fused EM kernel."""
+    from multimodal_trajectory_modeling_tpu.ops import (
+        markov as mops,
+        pallas_markov as pm,
+    )
+
+    rng = np.random.default_rng(51)
+    C, T, n, d, l = 3, 24, 260, 2, 3
+    z, x, lens, params_t = _mixture(52, C=C, T=T, n=n, d=d, l=l)
+    pi = jnp.asarray(rng.dirichlet(np.ones(C)))
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+
+    phi = pm.markov_materialize_features_longT(
+        z_t, x_t, lens, T=T, d=d, l=l, block_n=128, interpret=True
+    )
+    feats = mops.markov_em_features(z, x, lens)  # (n, F)
+    F = feats.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(phi[:F, :n]).T, np.asarray(feats),
+        rtol=1e-12, atol=1e-12,
+    )
+    assert np.all(np.asarray(phi[F:, :]) == 0.0)
+
+    Wg = mops.markov_em_weights(*params_t)
+    Wg = Wg.at[:, -1].add(jnp.log(pi))
+    W1, W2, W3 = mops.markov_cluster_weights_grouped(*params_t)
+    W3 = W3.at[:, -1].add(jnp.log(pi))
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    a0, c0, w0, g0, o0 = pm.markov_em_fused_longT(
+        z_t, x_t, lens, prev, W1, W2, W3, T=T, d=d, l=l,
+        interpret=True, block_n=128,
+    )
+    a1, c1, w1, g1, o1 = pm.markov_em_from_features(
+        phi, lens, prev, Wg, T=T, d=d, l=l,
+        layout="canonical", interpret=True, block_n=128,
+    )
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert int(w0) == int(w1)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(float(o1), float(o0), rtol=1e-12)
+
+
+def test_train_em_markov_longT_precompute_matches():
+    """At T past the packed kernel's VMEM gate, train_em_markov's
+    precompute route (grid materialization + canonical from-features
+    iterations) must match the per-iteration grid-kernel path (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    C, T, n, d, l = 2, 80, 200, 3, 2  # T·s = 640 > 512 → longT route
+    z, x, lens, params_t = _mixture(61, C=C, T=T, n=n, d=d, l=l, min_len=2)
+    m, S, A, G, H, L = params_t
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C, m=m, S=S, A=A, G=G, H=H, L=L
+    )
+    rng = np.random.default_rng(62)
+    assign0 = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    outs = {}
+    for pc in (False, True):
+        p, a, it, st = em.train_em_markov(
+            params0, assign0, z, x, lens, n_steps=8, precompute=pc
+        )
+        outs[pc] = (p, np.asarray(a), int(it), int(st))
+    p0, a0, it0, st0 = outs[False]
+    p1, a1, it1, st1 = outs[True]
+    assert (it0, st0) == (it1, st1)
+    np.testing.assert_array_equal(a0, a1)
+    for leaf0, leaf1 in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(leaf1), np.asarray(leaf0), rtol=1e-9, atol=1e-12
+        )
