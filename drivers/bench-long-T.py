@@ -110,6 +110,56 @@ def time_markov(z, x, lens, T, params, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def time_markov_phi(z, x, lens, T, params, iters=10):
+    """(one-time feature materialization ms, ms per from-features EM
+    iteration) — the production precompute route of train_em_markov:
+    Φ's row count is T-independent, so the per-iteration cost stops
+    growing with T entirely (the O(T) cost moves into the single
+    materialization pass)."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov as pm
+
+    n = z.shape[1]
+    lj = jnp.asarray(lens.astype(np.int32))
+    a = jnp.zeros((n,), jnp.int32)
+    ztp = jnp.transpose(z, (0, 2, 1)).reshape(T * D_H, n)
+    xtp = jnp.transpose(x, (0, 2, 1)).reshape(T * D_O, n)
+    packed_ok = T * 8 * ((D_H + D_O + 7) // 8) <= 512
+    if packed_ok:
+        u = jax.jit(
+            functools.partial(em.pack_markov_batch, T=T, d=D_H, l=D_O)
+        )(ztp, xtp)
+        mat = jax.jit(
+            functools.partial(em.pack_markov_features, T=T, d=D_H, l=D_O)
+        )
+        args = (u, lj)
+        layout = "compact"
+    else:
+        mat = jax.jit(
+            functools.partial(
+                pm.markov_materialize_features_longT, T=T, d=D_H, l=D_O
+            )
+        )
+        args = (ztp, xtp, lj)
+        layout = "canonical"
+    phi = mat(*args)
+    float(phi[0, 0])
+    t0 = time.perf_counter()
+    phi = mat(*args)
+    float(phi[0, 0])
+    mat_ms = (time.perf_counter() - t0) * 1e3
+
+    step = jax.jit(
+        functools.partial(em.emstep_markov, T=T, phi_layout=layout)
+    )
+    p, a, _c, _w = step(params, ztp, xtp, lj, a, phi=phi)
+    float(p.A[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, a, _c, _w = step(params, ztp, xtp, lj, a, phi=phi)
+    float(p.A[0, 0, 0])
+    return mat_ms, (time.perf_counter() - t0) / iters * 1e3
+
+
 def time_kalman_masked(z, x, T, params, iters=10):
     """(ms per (C, n) masked-filter log-likelihood evaluation on the
     ROUTED path — the Pallas grid kernel on TPU, the XLA scan elsewhere
@@ -209,11 +259,14 @@ def main():
             L=jnp.asarray(np.stack([np.eye(D_O)] * C), jnp.float32),
         )
         mk = time_markov(z, x, lens, T, params)
+        mat_ms, mk_phi = time_markov_phi(z, x, lens, T, params)
         ka, ka_xla, ka_em = time_kalman_masked(z, x, T, params)
         if T <= DENSE_T_MAX:
             dn = time_dense(z, x, v, patterns, pid, T, params)
             print(
-                f"T={T:4d}: markov {mk:8.2f} ms/iter   dense {dn:8.2f} ms/iter"
+                f"T={T:4d}: markov {mk:8.2f} ms/iter"
+                f"   phi {mk_phi:6.2f} ms/iter (+{mat_ms:.1f} once)"
+                f"   dense {dn:8.2f} ms/iter"
                 f"   ({dn/mk:.1f}x)   kalman-masked {ka:8.2f} ms/eval"
                 f" (xla {ka_xla:.2f}) {ka_em:8.2f} ms/EM-iter",
                 flush=True,
@@ -221,13 +274,17 @@ def main():
         else:
             dn = None
             print(
-                f"T={T:4d}: markov {mk:8.2f} ms/iter   dense —— "
+                f"T={T:4d}: markov {mk:8.2f} ms/iter"
+                f"   phi {mk_phi:6.2f} ms/iter (+{mat_ms:.1f} once)"
+                f"   dense —— "
                 f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))"
                 f"   kalman-masked {ka:8.2f} ms/eval (xla {ka_xla:.2f})"
                 f" {ka_em:8.2f} ms/EM-iter",
                 flush=True,
             )
         rows.append({"T": T, "markov_ms": round(mk, 2),
+                     "markov_phi_ms": round(mk_phi, 2),
+                     "phi_materialize_ms": round(mat_ms, 2),
                      "dense_ms": None if dn is None else round(dn, 2),
                      "kalman_masked_ms": round(ka, 2),
                      "kalman_masked_xla_ms": round(ka_xla, 2),
