@@ -401,6 +401,29 @@ def train_em_multistart_2d(
     )(params_stacked, assign0, z, x, v, patterns, pattern_id)
 
 
+def _precompute_enabled(T, d, l):
+    """Same gate as :func:`..models.em.train_em_markov`'s default
+    precompute: the packed ACC build's VMEM limit and the
+    ``MTM_MARKOV_PRECOMP`` opt-out."""
+    import os as _os
+
+    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    return packed_ok and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+
+
+def _maybe_local_phi(u_l, lens_l, *, T, d, l, dtype, interpret):
+    """Per-shard feature materialization for the shard_map Markov paths —
+    ``None`` when :func:`_precompute_enabled` says the per-iteration
+    kernels should run instead."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    if not _precompute_enabled(T, d, l):
+        return None
+    return pallas_markov.markov_materialize_features(
+        u_l, lens_l, T=T, d=d, l=l, dtype=dtype, interpret=interpret
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
@@ -453,8 +476,13 @@ def train_em_markov_shardmap(
         z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
         # packed batch for the shift-product kernel — iteration-invariant
-        # per shard, hoisted out of the while_loop below
+        # per shard, hoisted out of the while_loop below; features
+        # materialized once per shard (iterations then read Φ only)
         u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
+        phi_l = _maybe_local_phi(
+            u_l, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
+            interpret=interpret,
+        )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
         def fused(params, prev, mode):
@@ -462,17 +490,30 @@ def train_em_markov_shardmap(
                 params.m, params.S, params.A, params.G, params.H, params.L
             )
             Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed(
-                u_l,
-                lens_l,
-                prev,
-                Wg,
-                T=T,
-                d=d,
-                l=l,
-                assign_mode=mode,
-                interpret=interpret,
-            )
+            if phi_l is not None:
+                a, c, w, g, _obj = pallas_markov.markov_em_from_features(
+                    phi_l,
+                    lens_l,
+                    prev,
+                    Wg,
+                    T=T,
+                    d=d,
+                    l=l,
+                    assign_mode=mode,
+                    interpret=interpret,
+                )
+            else:
+                a, c, w, g, _obj = pallas_markov.markov_em_fused_packed(
+                    u_l,
+                    lens_l,
+                    prev,
+                    Wg,
+                    T=T,
+                    d=d,
+                    l=l,
+                    assign_mode=mode,
+                    interpret=interpret,
+                )
             g = jax.lax.psum(g, axis)
             w = jax.lax.psum(w, axis)
             c = jax.lax.psum(c, axis)
@@ -754,6 +795,10 @@ def train_em_markov_multi_shardmap(
         z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
         u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
+        phi_l = _maybe_local_phi(
+            u_l, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
+            interpret=interpret,
+        )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
         def fused(params, prev, mode):
@@ -761,17 +806,34 @@ def train_em_markov_multi_shardmap(
                 params.m, params.S, params.A, params.G, params.H, params.L
             )
             Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
-            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed_multi(
-                u_l,
-                lens_l,
-                prev,
-                Wg,
-                T=T,
-                d=d,
-                l=l,
-                assign_mode=mode,
-                interpret=interpret,
-            )
+            if phi_l is not None:
+                a, c, w, g, _obj = (
+                    pallas_markov.markov_em_from_features_multi(
+                        phi_l,
+                        lens_l,
+                        prev,
+                        Wg,
+                        T=T,
+                        d=d,
+                        l=l,
+                        assign_mode=mode,
+                        interpret=interpret,
+                    )
+                )
+            else:
+                a, c, w, g, _obj = (
+                    pallas_markov.markov_em_fused_packed_multi(
+                        u_l,
+                        lens_l,
+                        prev,
+                        Wg,
+                        T=T,
+                        d=d,
+                        l=l,
+                        assign_mode=mode,
+                        interpret=interpret,
+                    )
+                )
             g = jax.lax.psum(g, axis)
             w = jax.lax.psum(w, axis)
             c = jax.lax.psum(c, axis)
@@ -883,6 +945,7 @@ def _pool_window_shardmap(
     force,  # (R,) int32
     lens,  # (n_pad,) int32 — sharded (0 on pad lanes)
     u,  # (T·s, n_pad) packed batch — lanes sharded
+    phi=None,  # (Fc_pad, n_pad) materialized features — lanes sharded
     *,
     mesh: Mesh,
     T: int,
@@ -917,7 +980,9 @@ def _pool_window_shardmap(
     axis = "data"
     interpret = jax.devices()[0].platform not in ("tpu",)
 
-    def shard_fn(params, assigns_l, status, iters, force, lens_l, u_l):
+    def shard_fn(
+        params, assigns_l, status, iters, force, lens_l, u_l, phi_l
+    ):
         # pad lanes must stay prev = -1 across passes: the kernel marks
         # its OWN invalid-lane outputs with C (not -1), and unlike the
         # single-device wrapper (which re-pads prev from a length-n
@@ -933,18 +998,36 @@ def _pool_window_shardmap(
                 params.m, params.S, params.A, params.G, params.H, params.L
             )
             Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
-            a, c, w, g, _obj = pallas_markov.markov_em_fused_packed_multi(
-                u_l,
-                lens_l,
-                prev,
-                Wg,
-                T=T,
-                d=d,
-                l=l,
-                assign_mode="argmax",
-                force_prev=force_r,
-                interpret=interpret,
-            )
+            if phi_l is not None:
+                a, c, w, g, _obj = (
+                    pallas_markov.markov_em_from_features_multi(
+                        phi_l,
+                        lens_l,
+                        prev,
+                        Wg,
+                        T=T,
+                        d=d,
+                        l=l,
+                        assign_mode="argmax",
+                        force_prev=force_r,
+                        interpret=interpret,
+                    )
+                )
+            else:
+                a, c, w, g, _obj = (
+                    pallas_markov.markov_em_fused_packed_multi(
+                        u_l,
+                        lens_l,
+                        prev,
+                        Wg,
+                        T=T,
+                        d=d,
+                        l=l,
+                        assign_mode="argmax",
+                        force_prev=force_r,
+                        interpret=interpret,
+                    )
+                )
             g = jax.lax.psum(g, axis)
             c = jax.lax.psum(c, axis)
             w = jax.lax.psum(w, axis)
@@ -990,6 +1073,7 @@ def _pool_window_shardmap(
         )
 
     param_spec = jax.tree.map(lambda _: P(), params)
+    phi_spec = None if phi is None else P(None, "data")
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -1001,10 +1085,11 @@ def _pool_window_shardmap(
             P(),
             P("data"),
             P(None, "data"),
+            phi_spec,
         ),
         out_specs=(param_spec, P(None, "data"), P(), P(), P()),
         check_vma=False,
-    )(params, assigns, status, iters, force, lens, u)
+    )(params, assigns, status, iters, force, lens, u, phi)
 
 
 def pool_window_for_mesh(
@@ -1054,6 +1139,27 @@ def pool_window_for_mesh(
             jnp.zeros((n_pad - n,), jnp.int32),
         ]
     )
+    # materialize Φ once for the whole pool, sharded on lanes (one small
+    # shard_map pass; same MTM_MARKOV_PRECOMP default/opt-out as the
+    # single-device pool) — every window then reads Φ only
+    phi = None
+    if _precompute_enabled(T, d, l):
+        interpret = jax.devices()[0].platform not in ("tpu",)
+        phi = jax.shard_map(
+            lambda u_l, lens_l: _maybe_local_phi(
+                u_l,
+                lens_l,
+                T=T,
+                d=d,
+                l=l,
+                dtype=u.dtype,
+                interpret=interpret,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "data"), P("data")),
+            out_specs=P(None, "data"),
+            check_vma=False,
+        )(u, lens_pad)
 
     def window(stack, assigns, status, iters, force):
         return _pool_window_shardmap(
@@ -1064,6 +1170,7 @@ def pool_window_for_mesh(
             force,
             lens_pad,
             u,
+            phi,
             mesh=mesh,
             T=T,
             d=d,

@@ -537,3 +537,31 @@ def test_mixture_multistart_multichip_with_refills(problem, monkeypatch):
     a2, o2 = run(True)
     np.testing.assert_array_equal(a2, a1)
     np.testing.assert_allclose(o2, o1, rtol=1e-12)
+
+
+def test_markov_shardmap_phi_routing_is_exact_noop(problem, monkeypatch):
+    """MTM_MARKOV_PRECOMP toggles the per-shard materialized-feature (Φ)
+    route inside the shard_map Markov trainers; on ≡ off must be
+    bit-equal (the Φ-reading kernel reads the same features the packed
+    kernel rebuilds every iteration — dropped ACC slots carry exact zeros)."""
+    from jax.sharding import Mesh
+
+    z = np.asarray(problem["z"])
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    args = (
+        problem["params0"],
+        problem["assign0"].astype(jnp.int32),
+        problem["z"],
+        problem["x"],
+        lens,
+    )
+
+    monkeypatch.setenv("MTM_MARKOV_PRECOMP", "1")
+    on = sharded_em.train_em_markov_shardmap(*args, mesh=mesh, n_steps=40)
+    monkeypatch.setenv("MTM_MARKOV_PRECOMP", "0")
+    off = sharded_em.train_em_markov_shardmap(*args, mesh=mesh, n_steps=40)
+    for a, b in zip(jax.tree.leaves(on), jax.tree.leaves(off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
