@@ -1439,6 +1439,7 @@ def emstep_markov_multi(
     alpha: float = 0.0,
     interpret: bool = None,
     phi: jax.Array = None,  # (Fc_pad, n_pad) features (pack_markov_features)
+    phi_layout: str = "compact",
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """ONE fused EM iteration for R independent restarts over the SAME
     batch (R-restart packed kernel
@@ -1454,7 +1455,10 @@ def emstep_markov_multi(
     :func:`train_em_markov_pool`).  Pass ``phi``
     (:func:`pack_markov_features`) to drive the iteration from the
     materialized feature matrix instead — no per-iteration build, and
-    both GEMMs contract over the compact rows."""
+    both GEMMs contract over the compact rows.  ``phi_layout`` names
+    Φ's row order (``"canonical"`` for the long-T grid materializer,
+    whose iterations this is the ONLY multi-restart route for — the
+    packed kernel's ACC build caps at T·s ≤ 512 of VMEM)."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -1479,6 +1483,7 @@ def emstep_markov_multi(
                 l=l,
                 assign_mode=assign_mode,
                 force_prev=force_prev,
+                layout=phi_layout,
                 interpret=interpret,
             )
         )
@@ -1542,19 +1547,33 @@ def train_em_markov_multi(
 
     import os as _os
 
-    if u is None:
+    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+    phi_layout = "compact"
+    if packed_ok:
+        if u is None:
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+        phi = (
+            pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
+            if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+            else None
+        )
+    else:
+        # long T: the packed multi kernel's ACC build exceeds VMEM past
+        # T·s = 512 — iterations always run from the canonical-layout
+        # materialized features (one grid-over-T build for the whole
+        # sweep; the (T·s, n) packed batch is never built)
+        from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
         z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
         x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-        u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
-    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-    phi = (
-        pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
-        if (
-            packed_ok
-            and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+        interpret = jax.devices()[0].platform not in ("tpu",)
+        phi = pallas_markov.markov_materialize_features_longT(
+            z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
         )
-        else None
-    )
+        phi_layout = "canonical"
+        u = None
 
     counts0 = jax.vmap(counts_from_assign, in_axes=(0, None))(assign0, C)
     init_abort = jnp.min(counts0, axis=1) <= min_members  # (R,)
@@ -1570,6 +1589,7 @@ def train_em_markov_multi(
             reg_mode=reg_mode,
             alpha=alpha,
             phi=phi,
+            phi_layout=phi_layout,
         )
 
     params_m, _, _, _, _ = _emstep(params0, assign0, "prev")
@@ -1624,6 +1644,7 @@ def train_em_markov_multi(
         "reg_mode",
         "alpha",
         "min_members",
+        "phi_layout",
     ),
 )
 def _pool_window(
@@ -1633,7 +1654,7 @@ def _pool_window(
     iters,  # (R,) int32
     force,  # (R,) int32 — 1 ⇒ slot's next pass is its initial M step
     lens,  # (n,) int32
-    u,  # (T·s, n) packed batch
+    u,  # (T·s, n) packed batch (None when phi carries the iterations)
     phi=None,  # (Fc_pad, n_pad) materialized features (optional)
     *,
     T: int,
@@ -1642,6 +1663,7 @@ def _pool_window(
     reg_mode: str,
     alpha: float,
     min_members: int,
+    phi_layout: str = "compact",
 ):
     """K fused multi-restart EM iterations in ONE dispatch, with
     per-slot freezing (terminal slots idle) and per-slot insertion
@@ -1662,6 +1684,7 @@ def _pool_window(
                 reg_mode=reg_mode,
                 alpha=alpha,
                 phi=phi,
+                phi_layout=phi_layout,
             )
         )
         fp = force > 0
@@ -1763,24 +1786,41 @@ def train_em_markov_pool(
     else:
         import os as _os
 
-        if u is None:
-            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-            u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
         n_state = n
         lens_w, u_w = lens, u
         # materialize Φ once for the whole pool (train_em_markov's
         # default precompute, same env opt-out): every slot's iteration
-        # then reads Φ — no per-window feature build, half-width GEMMs
+        # then reads Φ — no per-window feature build, half-width GEMMs.
+        # Long T (packed ACC build past its T·s ≤ 512 VMEM cap) always
+        # runs from the canonical-layout grid materialization — the
+        # packed multi kernel has no long-T mode.
         packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-        phi_w = (
-            pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
-            if (
-                packed_ok
-                and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+        phi_layout = "compact"
+        if packed_ok:
+            if u_w is None:
+                z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+                x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+                u_w = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+            phi_w = (
+                pack_markov_features(
+                    u_w, lens, T=T, d=d, l=l, dtype=z.dtype
+                )
+                if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+                else None
             )
-            else None
-        )
+        else:
+            from multimodal_trajectory_modeling_tpu.ops import (
+                pallas_markov,
+            )
+
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            interpret = jax.devices()[0].platform not in ("tpu",)
+            phi_w = pallas_markov.markov_materialize_features_longT(
+                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+            )
+            phi_layout = "canonical"
+            u_w = None
 
         def window(stack, assigns, status, iters, force):
             return _pool_window(
@@ -1798,6 +1838,7 @@ def train_em_markov_pool(
                 reg_mode=reg_mode,
                 alpha=float(alpha),
                 min_members=min_members,
+                phi_layout=phi_layout,
             )
 
     next_cand = 0

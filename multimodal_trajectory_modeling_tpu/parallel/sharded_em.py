@@ -401,27 +401,40 @@ def train_em_multistart_2d(
     )(params_stacked, assign0, z, x, v, patterns, pattern_id)
 
 
-def _precompute_enabled(T, d, l):
-    """Same gate as :func:`..models.em.train_em_markov`'s default
-    precompute: the packed ACC build's VMEM limit and the
-    ``MTM_MARKOV_PRECOMP`` opt-out."""
+def _packed_ok(T, d, l):
+    """The packed ACC build's VMEM gate (mirrors
+    :func:`..models.em.train_em_markov`)."""
+    return T * 8 * ((d + l + 7) // 8) <= 512
+
+
+def _local_markov_route(z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret):
+    """Per-shard Markov kernel routing for the shard_map trainers:
+    returns ``(u, phi, layout)``.
+
+    - packed regime (T·s ≤ 512), precompute on (default): compact Φ
+      materialized once per shard — iterations read Φ only;
+    - packed regime, ``MTM_MARKOV_PRECOMP=0``: packed batch ``u`` for
+      the per-iteration shift-product kernel (``phi = None``);
+    - long T: canonical-layout Φ from the grid-over-T materializer —
+      the ONLY route (the packed kernel's ACC build exceeds VMEM), so
+      the env opt-out does not apply and the (T·s, n) packed batch is
+      never built."""
     import os as _os
 
-    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-    return packed_ok and _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-
-
-def _maybe_local_phi(u_l, lens_l, *, T, d, l, dtype, interpret):
-    """Per-shard feature materialization for the shard_map Markov paths —
-    ``None`` when :func:`_precompute_enabled` says the per-iteration
-    kernels should run instead."""
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
-    if not _precompute_enabled(T, d, l):
-        return None
-    return pallas_markov.markov_materialize_features(
-        u_l, lens_l, T=T, d=d, l=l, dtype=dtype, interpret=interpret
-    )
+    if not _packed_ok(T, d, l):
+        phi = pallas_markov.markov_materialize_features_longT(
+            z_tp, x_tp, lens_l, T=T, d=d, l=l, interpret=interpret
+        )
+        return None, phi, "canonical"
+    u = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
+    if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1":
+        phi = pallas_markov.markov_materialize_features(
+            u, lens_l, T=T, d=d, l=l, dtype=dtype, interpret=interpret
+        )
+        return u, phi, "compact"
+    return u, None, "compact"
 
 
 @functools.partial(
@@ -475,12 +488,11 @@ def train_em_markov_shardmap(
         n_l = z_l.shape[1]
         z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
-        # packed batch for the shift-product kernel — iteration-invariant
-        # per shard, hoisted out of the while_loop below; features
-        # materialized once per shard (iterations then read Φ only)
-        u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
-        phi_l = _maybe_local_phi(
-            u_l, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
+        # packed batch / materialized features — iteration-invariant per
+        # shard, hoisted out of the while_loop below (long T routes the
+        # canonical Φ; iterations then read Φ only)
+        u_l, phi_l, layout = _local_markov_route(
+            z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
             interpret=interpret,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
@@ -500,6 +512,7 @@ def train_em_markov_shardmap(
                     d=d,
                     l=l,
                     assign_mode=mode,
+                    layout=layout,
                     interpret=interpret,
                 )
             else:
@@ -794,9 +807,8 @@ def train_em_markov_multi_shardmap(
         n_l = z_l.shape[1]
         z_tp = jnp.transpose(z_l, (0, 2, 1)).reshape(T * d, n_l)
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
-        u_l = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
-        phi_l = _maybe_local_phi(
-            u_l, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
+        u_l, phi_l, layout = _local_markov_route(
+            z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
             interpret=interpret,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
@@ -817,6 +829,7 @@ def train_em_markov_multi_shardmap(
                         d=d,
                         l=l,
                         assign_mode=mode,
+                        layout=layout,
                         interpret=interpret,
                     )
                 )
@@ -935,6 +948,7 @@ def train_em_markov_multi_shardmap(
         "reg_mode",
         "alpha",
         "min_members",
+        "phi_layout",
     ),
 )
 def _pool_window_shardmap(
@@ -944,7 +958,7 @@ def _pool_window_shardmap(
     iters,  # (R,) int32
     force,  # (R,) int32
     lens,  # (n_pad,) int32 — sharded (0 on pad lanes)
-    u,  # (T·s, n_pad) packed batch — lanes sharded
+    u,  # (T·s, n_pad) packed batch — lanes sharded (None under long-T Φ)
     phi=None,  # (Fc_pad, n_pad) materialized features — lanes sharded
     *,
     mesh: Mesh,
@@ -957,6 +971,7 @@ def _pool_window_shardmap(
     reg_mode: str,
     alpha: float,
     min_members: int,
+    phi_layout: str = "compact",
 ):
     """Data-parallel :func:`..models.em._pool_window`: K fused
     multi-restart pool iterations in ONE dispatch with every lane-axis
@@ -1010,6 +1025,7 @@ def _pool_window_shardmap(
                         l=l,
                         assign_mode="argmax",
                         force_prev=force_r,
+                        layout=phi_layout,
                         interpret=interpret,
                     )
                 )
@@ -1074,6 +1090,7 @@ def _pool_window_shardmap(
 
     param_spec = jax.tree.map(lambda _: P(), params)
     phi_spec = None if phi is None else P(None, "data")
+    u_spec = None if u is None else P(None, "data")
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -1084,7 +1101,7 @@ def _pool_window_shardmap(
             P(),
             P(),
             P("data"),
-            P(None, "data"),
+            u_spec,
             phi_spec,
         ),
         out_specs=(param_spec, P(None, "data"), P(), P(), P()),
@@ -1117,49 +1134,81 @@ def pool_window_for_mesh(
 
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
+    import os as _os
+
     T, n, d = z.shape
     l = x.shape[-1]
     D = int(mesh.shape["data"])
     quantum = 2048 * D
     n_pad = ((n + quantum - 1) // quantum) * quantum
-    if u is None:
-        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-        u = pallas_markov.pack_markov_u(
-            z_tp, x_tp, T=T, d=d, l=l, pad_to=n_pad
-        )
-    elif u.shape[1] < n_pad:
-        u = jnp.concatenate(
-            [u, jnp.zeros((u.shape[0], n_pad - u.shape[1]), u.dtype)],
-            axis=1,
-        )
     lens_pad = jnp.concatenate(
         [
             jnp.asarray(lens, jnp.int32),
             jnp.zeros((n_pad - n,), jnp.int32),
         ]
     )
+    interpret = jax.devices()[0].platform not in ("tpu",)
     # materialize Φ once for the whole pool, sharded on lanes (one small
     # shard_map pass; same MTM_MARKOV_PRECOMP default/opt-out as the
-    # single-device pool) — every window then reads Φ only
+    # single-device pool) — every window then reads Φ only.  Long T
+    # (packed ACC build past T·s ≤ 512 of VMEM) always routes the
+    # canonical grid materialization; the packed batch is never built.
     phi = None
-    if _precompute_enabled(T, d, l):
-        interpret = jax.devices()[0].platform not in ("tpu",)
+    phi_layout = "compact"
+    if not _packed_ok(T, d, l):
+
+        def _pad_lanes(a_t):
+            return jnp.concatenate(
+                [a_t, jnp.zeros((a_t.shape[0], n_pad - n), a_t.dtype)],
+                axis=1,
+            )
+
+        z_tp = _pad_lanes(jnp.transpose(z, (0, 2, 1)).reshape(T * d, n))
+        x_tp = _pad_lanes(jnp.transpose(x, (0, 2, 1)).reshape(T * l, n))
         phi = jax.shard_map(
-            lambda u_l, lens_l: _maybe_local_phi(
-                u_l,
-                lens_l,
-                T=T,
-                d=d,
-                l=l,
-                dtype=u.dtype,
-                interpret=interpret,
+            lambda zl, xl, ll: pallas_markov.markov_materialize_features_longT(
+                zl, xl, ll, T=T, d=d, l=l, interpret=interpret
             ),
             mesh=mesh,
-            in_specs=(P(None, "data"), P("data")),
+            in_specs=(P(None, "data"), P(None, "data"), P("data")),
             out_specs=P(None, "data"),
             check_vma=False,
-        )(u, lens_pad)
+        )(z_tp, x_tp, lens_pad)
+        phi_layout = "canonical"
+        u = None
+    else:
+        if u is None:
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            u = pallas_markov.pack_markov_u(
+                z_tp, x_tp, T=T, d=d, l=l, pad_to=n_pad
+            )
+        elif u.shape[1] < n_pad:
+            u = jnp.concatenate(
+                [
+                    u,
+                    jnp.zeros(
+                        (u.shape[0], n_pad - u.shape[1]), u.dtype
+                    ),
+                ],
+                axis=1,
+            )
+        if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1":
+            phi = jax.shard_map(
+                lambda u_l, lens_l: pallas_markov.markov_materialize_features(
+                    u_l,
+                    lens_l,
+                    T=T,
+                    d=d,
+                    l=l,
+                    dtype=u.dtype,
+                    interpret=interpret,
+                ),
+                mesh=mesh,
+                in_specs=(P(None, "data"), P("data")),
+                out_specs=P(None, "data"),
+                check_vma=False,
+            )(u, lens_pad)
 
     def window(stack, assigns, status, iters, force):
         return _pool_window_shardmap(
@@ -1181,6 +1230,7 @@ def pool_window_for_mesh(
             reg_mode=reg_mode,
             alpha=alpha,
             min_members=min_members,
+            phi_layout=phi_layout,
         )
 
     return window, n_pad

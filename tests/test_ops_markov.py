@@ -544,3 +544,89 @@ def test_train_em_markov_longT_precompute_matches():
         np.testing.assert_allclose(
             np.asarray(leaf1), np.asarray(leaf0), rtol=1e-9, atol=1e-12
         )
+
+
+def test_train_em_markov_multi_longT_matches_standalone():
+    """Past the packed kernel's T·s ≤ 512 gate the multi-restart trainer
+    must route the canonical-layout materialized features and reproduce
+    per-restart standalone train_em_markov runs exactly (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    C, T, n, d, l = 2, 80, 160, 3, 2  # T·s = 640 > 512 → longT route
+    z, x, lens, params_t = _mixture(71, C=C, T=T, n=n, d=d, l=l, min_len=2)
+    rng = np.random.default_rng(72)
+    R = 3
+
+    def one_params(r):
+        m, S, A, G, H, L = params_t
+        jit_m = m + 0.2 * rng.normal(size=np.asarray(m).shape)
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C, m=jnp.asarray(jit_m),
+            S=S, A=A, G=G, H=H, L=L,
+        )
+
+    plist = [one_params(r) for r in range(R)]
+    alist = [
+        jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+        for _ in range(R)
+    ]
+    pstack = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
+    astack = jnp.stack(alist)
+    pm, am, itm, stm = em.train_em_markov_multi(
+        pstack, astack, z, x, lens, n_steps=6
+    )
+    for r in range(R):
+        pr, ar, itr, str_ = em.train_em_markov(
+            plist[r], alist[r], z, x, lens, n_steps=6
+        )
+        assert (int(itr), int(str_)) == (int(itm[r]), int(stm[r])), r
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(am[r]))
+        for lm, lr in zip(
+            jax.tree.leaves(jax.tree.map(lambda a: a[r], pm)),
+            jax.tree.leaves(pr),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lm), np.asarray(lr), rtol=1e-9, atol=1e-12,
+                err_msg=f"restart {r}",
+            )
+
+
+def test_train_em_markov_pool_longT_matches_standalone():
+    """The slot-pool multistart at long T (canonical Φ window) must
+    return per-candidate results identical to standalone runs (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    C, T, n, d, l = 2, 80, 160, 3, 2
+    z, x, lens, params_t = _mixture(81, C=C, T=T, n=n, d=d, l=l, min_len=2)
+    rng = np.random.default_rng(82)
+    n_cand = 3
+
+    def one_params():
+        m, S, A, G, H, L = params_t
+        jit_m = m + 0.2 * rng.normal(size=np.asarray(m).shape)
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C, m=jnp.asarray(jit_m),
+            S=S, A=A, G=G, H=H, L=L,
+        )
+
+    plist = [one_params() for _ in range(n_cand)]
+    alist = [
+        rng.integers(0, C, size=n).astype(np.int32)
+        for _ in range(n_cand)
+    ]
+    got = em.train_em_markov_pool(
+        plist, alist, z, x, lens, R=2, n_steps=6, sync_every=2
+    )
+    assert len(got) == n_cand
+    for i in range(n_cand):
+        pr, ar, itr, str_ = em.train_em_markov(
+            plist[i], jnp.asarray(alist[i]), z, x, lens, n_steps=6
+        )
+        pg, ag, ig, sg = got[i]
+        assert (int(itr), int(str_)) == (int(ig), int(sg)), i
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(ag))
+        for lg, lr in zip(jax.tree.leaves(pg), jax.tree.leaves(pr)):
+            np.testing.assert_allclose(
+                np.asarray(lg), np.asarray(lr), rtol=1e-9, atol=1e-12,
+                err_msg=f"cand {i}",
+            )

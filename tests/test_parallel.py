@@ -565,3 +565,132 @@ def test_markov_shardmap_phi_routing_is_exact_noop(problem, monkeypatch):
     off = sharded_em.train_em_markov_shardmap(*args, mesh=mesh, n_steps=40)
     for a, b in zip(jax.tree.leaves(on), jax.tree.leaves(off)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _longT_problem(seed, C=2, T=80, n=160, d=3, l=2):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    lens = rng.integers(2, T + 1, size=n)
+    for Ln in np.unique(lens):
+        z[Ln:, lens == Ln] = np.nan
+        x[Ln:, lens == Ln] = np.nan
+
+    def spd(k):
+        M = rng.normal(size=(k, k))
+        return M @ M.T / k + np.eye(k)
+
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C,
+        m=jnp.asarray(rng.normal(size=(C, d))),
+        S=jnp.asarray(np.stack([spd(d) for _ in range(C)])),
+        A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+        G=jnp.asarray(np.stack([spd(d) for _ in range(C)])),
+        H=jnp.asarray(rng.normal(size=(C, d, l))),
+        L=jnp.asarray(np.stack([spd(l) for _ in range(C)])),
+    )
+    assign0 = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    return (
+        jnp.asarray(z),
+        jnp.asarray(x),
+        jnp.asarray(lens, jnp.int32),
+        params0,
+        assign0,
+    )
+
+
+def test_markov_shardmap_longT_matches_single_device():
+    """Past the packed kernel's T·s ≤ 512 gate the shard_map trainer
+    must route the per-shard canonical Φ materialization (grid-over-T)
+    and match the single-device longT trainer (f64 mesh)."""
+    from jax.sharding import Mesh
+
+    z, x, lens, params0, assign0 = _longT_problem(91)
+    ref = em.train_em_markov(params0, assign0, z, x, lens, n_steps=6)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = sharded_em.train_em_markov_shardmap(
+        params0, assign0, z, x, lens, mesh=mesh, n_steps=6
+    )
+    assert (int(ref[3]), int(ref[2])) == (int(got[3]), int(got[2]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    for a, b in zip(ref[0], got[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_markov_pool_shardmap_longT_matches_unsharded():
+    """The mesh-mode slot pool at long T (canonical Φ materialized once
+    over the mesh, u never built) must equal the single-device pool."""
+    from jax.sharding import Mesh
+
+    z, x, lens, params0, _ = _longT_problem(92)
+    rng = np.random.default_rng(93)
+    C, n = 2, z.shape[1]
+    n_cand = 3
+    plist = [
+        em.MixtureParams(
+            pi=params0.pi,
+            m=params0.m + 0.2 * rng.normal(size=np.asarray(params0.m).shape),
+            S=params0.S, A=params0.A, G=params0.G,
+            H=params0.H, L=params0.L,
+        )
+        for _ in range(n_cand)
+    ]
+    alist = [
+        rng.integers(0, C, size=n).astype(np.int32)
+        for _ in range(n_cand)
+    ]
+    kw = dict(R=2, n_steps=4, sync_every=2)
+    ref = em.train_em_markov_pool(plist, alist, z, x, lens, **kw)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = em.train_em_markov_pool(plist, alist, z, x, lens, mesh=mesh, **kw)
+    for i, ((pw, aw, iw, sw), (pg, ag, ig, sg)) in enumerate(zip(ref, got)):
+        assert (int(sw), int(iw)) == (int(sg), int(ig)), i
+        np.testing.assert_array_equal(
+            np.asarray(aw), np.asarray(ag), err_msg=f"cand {i}"
+        )
+        for lw, lg in zip(jax.tree.leaves(pw), jax.tree.leaves(pg)):
+            np.testing.assert_allclose(
+                np.asarray(lg), np.asarray(lw), rtol=1e-9, atol=1e-12,
+                err_msg=f"cand {i}",
+            )
+
+
+def test_markov_multi_shardmap_longT_matches_unsharded():
+    """Data-parallel multi-restart trainer at long T: per-shard canonical
+    Φ route must equal the single-device multi trainer (f64 mesh)."""
+    from jax.sharding import Mesh
+
+    z, x, lens, params0, assign0 = _longT_problem(94)
+    rng = np.random.default_rng(95)
+    C, n = 2, z.shape[1]
+    R = 3
+    pstack = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[
+            em.MixtureParams(
+                pi=params0.pi,
+                m=params0.m
+                + 0.2 * rng.normal(size=np.asarray(params0.m).shape),
+                S=params0.S, A=params0.A, G=params0.G,
+                H=params0.H, L=params0.L,
+            )
+            for _ in range(R)
+        ],
+    )
+    astack = jnp.asarray(
+        rng.integers(0, C, size=(R, n)).astype(np.int32)
+    )
+    ref = em.train_em_markov_multi(pstack, astack, z, x, lens, n_steps=5)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = sharded_em.train_em_markov_multi_shardmap(
+        pstack, astack, z, x, lens, mesh=mesh, n_steps=5
+    )
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    for a, b in zip(ref[0], got[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+        )
