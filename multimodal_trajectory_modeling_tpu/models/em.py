@@ -902,8 +902,8 @@ def complete_data_loglik_markov(
     n=1e6 instead of a full dense E evaluation.  Routes the PACKED
     shift-product kernel when its VMEM gate admits T (bitwise-equal to
     the R-restart packed kernel, so sequential and fused-chunk
-    multistart sweeps rank candidates identically); the legacy kron
-    kernel covers larger T."""
+    multistart sweeps rank candidates identically); the grid-over-T
+    kernel (T-independent Mosaic compile) covers larger T."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -929,12 +929,18 @@ def complete_data_loglik_markov(
             interpret=interpret,
         )
         return obj
-    _a, _c, _w, _g, obj = pallas_markov.markov_em_fused(
+    W1, W2, W3 = mops.markov_cluster_weights_grouped(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    W3 = W3.at[:, -1].add(jnp.log(params.pi))
+    _a, _c, _w, _g, obj = pallas_markov.markov_em_fused_longT(
         z_t,
         x_t,
         lens,
         jnp.zeros((n,), jnp.int32),
-        Wg,
+        W1,
+        W2,
+        W3,
         T=T,
         d=d,
         l=l,
@@ -1943,13 +1949,18 @@ def train_em_markov_pool(
 def complete_data_loglik_markov_multi(
     params: MixtureParams,  # leading R axis on every leaf
     lens: jax.Array,  # (n,) int32
-    u: jax.Array,  # (T·s, n) packed batch — shared
+    u: jax.Array,  # (T·s, n) packed batch — shared (None under phi)
     *,
     T: int,
     interpret: bool = None,
+    phi: jax.Array = None,  # (F_pad, n_pad) materialized features
+    phi_layout: str = "compact",
 ) -> jax.Array:
     """Per-restart ``Σ_i max_c scores`` objectives (R,) in one kernel
-    pass — the R-restart :func:`complete_data_loglik_markov`."""
+    pass — the R-restart :func:`complete_data_loglik_markov`.  Pass
+    ``phi`` (+ ``phi_layout="canonical"`` from the long-T grid
+    materializer) to evaluate from materialized features — the only
+    multi-restart route past the packed kernel's T·s ≤ 512 gate."""
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
@@ -1963,6 +1974,19 @@ def complete_data_loglik_markov_multi(
         params.m, params.S, params.A, params.G, params.H, params.L
     )
     Wg = Wg.at[:, :, -1].add(jnp.log(params.pi))
+    if phi is not None:
+        _a, _c, _w, _g, obj = pallas_markov.markov_em_from_features_multi(
+            phi,
+            lens,
+            jnp.zeros((R, n), jnp.int32),
+            Wg,
+            T=T,
+            d=d,
+            l=l,
+            layout=phi_layout,
+            interpret=interpret,
+        )
+        return obj
     _a, _c, _w, _g, obj = pallas_markov.markov_em_fused_packed_multi(
         u,
         lens,

@@ -1020,15 +1020,37 @@ class MMLinGaussSS_marginalizable:
                     T0_ * l_n, -1
                 )
                 s_pack = 8 * ((d_n + l_n + 7) // 8)
-                r_fuse = (
-                    int(os.environ.get("MTM_MULTISTART_FUSE", "32"))
-                    if T0_ * s_pack <= 512  # packed-kernel VMEM gate
-                    else 1
-                )
+                packed_ok_ = T0_ * s_pack <= 512  # packed-kernel VMEM gate
+                r_fuse = int(os.environ.get("MTM_MULTISTART_FUSE", "32"))
                 if r_fuse > 1 and len(candidates) > 1:
-                    u_pack = em.pack_markov_batch(
-                        z_tp, x_tp, T=T0_, d=d_n, l=l_n
-                    )
+                    if packed_ok_:
+                        u_pack = em.pack_markov_batch(
+                            z_tp, x_tp, T=T0_, d=d_n, l=l_n
+                        )
+                        phi_obj, obj_layout = None, "compact"
+                    else:
+                        # long T: the pool trains from the canonical
+                        # grid-materialized features (the packed batch
+                        # is never built); candidate objectives evaluate
+                        # from one shared canonical Φ
+                        from multimodal_trajectory_modeling_tpu.ops import (
+                            pallas_markov,
+                        )
+
+                        u_pack = None
+                        phi_obj = (
+                            pallas_markov.markov_materialize_features_longT(
+                                z_tp,
+                                x_tp,
+                                lens,
+                                T=T0_,
+                                d=d_n,
+                                l=l_n,
+                                interpret=jax.devices()[0].platform
+                                not in ("tpu",),
+                            )
+                        )
+                        obj_layout = "canonical"
                     # with >1 attached device and MTM_MULTICHIP=1 the
                     # pool window runs data-parallel over a 1-D mesh
                     # (per-restart stats psums ride ICI; host
@@ -1066,7 +1088,12 @@ class MMLinGaussSS_marginalizable:
                             *[p for p, _a, _it, _st in grp],
                         )
                         objs = em.complete_data_loglik_markov_multi(
-                            params_st, lens, u_pack, T=T0_
+                            params_st,
+                            lens,
+                            u_pack,
+                            T=T0_,
+                            phi=phi_obj,
+                            phi_layout=obj_layout,
                         )
                         for (p, a, _it, _st), o in zip(grp, objs):
                             results_params.append(p)

@@ -585,3 +585,44 @@ def test_single_cluster_trains_all_paths(synth):
     np.testing.assert_allclose(
         fits["fast"], fits["default"], rtol=1e-9, atol=1e-10
     )
+
+
+def test_fast_multistart_longT_pooled_matches_sequential(monkeypatch):
+    """Long-T suffix data (past the packed kernel's T·s ≤ 512 gate):
+    the pooled fast multistart (canonical-Φ slot pool + Φ-evaluated
+    objectives) must reproduce the sequential per-candidate route —
+    same winner, assignments, and objectives (f64)."""
+    rng = np.random.default_rng(7)
+    T, n, d, l = 80, 160, 3, 2  # T·s = 640 > 512
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l)) + 0.7 * np.repeat(
+        z[:, :, :1], l, axis=2
+    )
+    z[:, n // 2 :, :] += 2.0
+    lens = rng.integers(4, T + 1, size=n)
+    for Ln in np.unique(lens):
+        z[Ln:, lens == Ln] = np.nan
+        x[Ln:, lens == Ln] = np.nan
+
+    def run(fuse):
+        monkeypatch.setenv("MTM_MULTISTART_FUSE", fuse)
+        np.random.seed(4321)
+        return MMLinGaussSS_marginalizable(
+            n_clusters=2,
+            states=z,
+            observations=x,
+            init="random",
+        ).train_with_multiple_random_starts(
+            n_starts=3,
+            n_steps=8,
+            use_cache=False,
+            fast=True,
+            return_objectives=True,
+        )
+
+    mdl_seq, obj_seq = run("1")  # r_fuse=1 → per-candidate trains
+    mdl_pool, obj_pool = run("2")  # 3 candidates through 2 pool slots
+    np.testing.assert_allclose(obj_pool, obj_seq, rtol=1e-9)
+    np.testing.assert_array_equal(
+        mdl_pool.cluster_assignment, mdl_seq.cluster_assignment
+    )
