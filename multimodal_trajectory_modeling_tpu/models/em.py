@@ -847,6 +847,43 @@ def mstep(
     return MixtureParams(pi, m0, S0, A, G, H, L)
 
 
+def mstep_multi(
+    z: jax.Array,
+    x: jax.Array,
+    assign: jax.Array,  # (R, n) int — one hard assignment per restart
+    *,
+    n_clusters: int,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+) -> MixtureParams:
+    """Multi-restart :func:`mstep`: R independent hard assignments share
+    ONE read of the batch — the per-restart one-hot memberships
+    concatenate on the cluster axis ``(n, R·C)``, every masked
+    sufficient-statistic einsum contracts them together, and the tiny
+    solves run batched on the (R·C)-leading statistics.  Each restart's
+    parameters equal a separate :func:`mstep` call (f64; f32 up to
+    reassociation).  Rows assigned ``-1`` (idle pool lanes) contribute
+    to no cluster."""
+    R, n = assign.shape
+    C = n_clusters
+    dtype = z.dtype
+    W = jax.nn.one_hot(assign, C, dtype=dtype)  # (R, n, C); -1 → zeros
+    W = jnp.transpose(W, (1, 0, 2)).reshape(n, R * C)
+    pi = jnp.mean(W, axis=0).reshape(R, C)
+    m0, S0 = rops.masked_mean_and_cov(z[0], W)
+    tstats = rops.weighted_regression_stats_timebatched(z[:-1], z[1:], W)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    mstats = rops.weighted_regression_stats_timebatched(z, x, W)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+
+    def rsh(a):
+        return a.reshape((R, C) + a.shape[1:])
+
+    return MixtureParams(
+        pi, rsh(m0), rsh(S0), rsh(A), rsh(G), rsh(H), rsh(L)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("T", "method"))
 def complete_data_loglik(
     params: MixtureParams,
@@ -1184,6 +1221,227 @@ def _train_em_masked_kalman_impl(
         cond, body, (params_start, assign0, jnp.int32(0), status0)
     )
     return params_f, assign_f, iters, status
+
+
+def emstep_masked_kalman_multi(
+    params: MixtureParams,  # leading R axis on every leaf
+    z: jax.Array,  # (T, n, d) ARBITRARY per-coordinate NaNs — shared
+    x: jax.Array,  # (T, n, l)
+    prev: jax.Array,  # (R, n) int32
+    *,
+    force_prev: jax.Array = None,  # (R,) — per-slot prev mode
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    pallas_mode: str = "off",
+    z4: jax.Array = None,  # packed batch (pack_masked_kalman) — shared
+    x4: jax.Array = None,
+    t_chunk: int = 0,
+    block_cols: int = 0,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """ONE masked-filter EM iteration for R independent restarts over
+    the SAME batch: the R·C parameter rows ride the filter kernel's
+    cluster loop as one ``(R·C, n)`` density pass (one batch stream for
+    the whole chunk), and the M statistics for every restart contract in
+    one read via :func:`mstep_multi`.  Each restart equals a separate
+    :func:`train_em_masked_kalman` iteration (f64).  ``force_prev``
+    rows take their initial M step (assignment kept at ``prev``)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    R, C = params.pi.shape
+    n = z.shape[1]
+
+    def flat(a):
+        return a.reshape((R * C,) + a.shape[2:])
+
+    if pallas_mode != "off":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
+
+        if z4 is None:
+            z4, x4, t_chunk, block_cols = pallas_kalman.pack_masked_kalman(
+                z, x, R * C
+            )
+        ll = pallas_kalman.kalman_masked_logliks_packed(
+            z4,
+            x4,
+            flat(params.m),
+            flat(params.S),
+            flat(params.A),
+            flat(params.G),
+            flat(params.H),
+            flat(params.L),
+            t_chunk=t_chunk,
+            block_cols=block_cols,
+            interpret=(pallas_mode == "interpret"),
+        )[:, :n]
+    else:
+        ll = kalman.kalman_masked_logliks(
+            z,
+            x,
+            flat(params.m),
+            flat(params.S),
+            flat(params.A),
+            flat(params.G),
+            flat(params.H),
+            flat(params.L),
+        )
+    ll = ll.reshape(R, C, n)
+    e_assign = jax.vmap(assignments_from_logliks)(params.pi, ll)
+    if force_prev is not None:
+        new_assign = jnp.where((force_prev > 0)[:, None], prev, e_assign)
+    else:
+        new_assign = e_assign
+    switches = jnp.sum(new_assign != prev, axis=1)
+    counts = jax.vmap(counts_from_assign, in_axes=(0, None))(
+        new_assign, C
+    )
+    new_params = mstep_multi(
+        z, x, new_assign, n_clusters=C, reg_mode=reg_mode, alpha=alpha
+    )
+    return new_params, new_assign, counts, switches
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+        "pallas_mode",
+        "t_chunk",
+        "block_cols",
+    ),
+)
+def _pool_window_masked_kalman(
+    params,  # stacked (R-leading) MixtureParams
+    assigns,  # (R, n) int32
+    status,  # (R,) int32
+    iters,  # (R,) int32
+    force,  # (R,) int32 — 1 ⇒ slot's next pass is its initial M step
+    z,  # (T, n, d)
+    x,  # (T, n, l)
+    z4,  # packed batch (None when pallas_mode == "off")
+    x4,
+    *,
+    K: int,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+    pallas_mode: str,
+    t_chunk: int,
+    block_cols: int,
+):
+    """K fused multi-restart masked-filter EM iterations in ONE
+    dispatch — the :func:`_pool_window` protocol (per-slot freezing,
+    force_prev insertion, capped counts) on the arbitrary-missingness
+    trainer."""
+
+    def body(_k, state):
+        params, assigns, status, iters, force = state
+        new_params, new_assign, counts, switches = (
+            emstep_masked_kalman_multi(
+                params,
+                z,
+                x,
+                assigns,
+                force_prev=force,
+                reg_mode=reg_mode,
+                alpha=alpha,
+                pallas_mode=pallas_mode,
+                z4=z4,
+                x4=x4,
+                t_chunk=t_chunk,
+                block_cols=block_cols,
+            )
+        )
+        fp = force > 0
+        active = (status == STATUS_RUNNING) & (iters < n_steps)
+        stepped = active & ~fp
+        _conv, _empty, adv_r, status_new = _em_termination(
+            switches, counts, status, min_members=min_members
+        )
+        advance = stepped & adv_r
+        take_new = (active & fp) | advance
+        params_out = _tree_select_rows(take_new, new_params, params)
+        assigns_out = jnp.where(active[:, None], new_assign, assigns)
+        status_out = jnp.where(stepped, status_new, status)
+        iters_out = iters + stepped.astype(jnp.int32)
+        force_out = jnp.where(active & fp, 0, force)
+        return (params_out, assigns_out, status_out, iters_out, force_out)
+
+    return jax.lax.fori_loop(
+        0, K, body, (params, assigns, status, iters, force)
+    )
+
+
+def train_em_masked_kalman_pool(
+    params_list,  # sequence of per-candidate MixtureParams
+    assign_list,  # sequence of per-candidate (n,) int assignments
+    z: jax.Array,  # (T, n, d) ARBITRARY per-coordinate NaNs — shared
+    x: jax.Array,  # (T, n, l)
+    *,
+    R: int = 8,
+    n_steps: int = 1000,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    sync_every: int = 8,
+    pallas_mode: str | None = None,
+) -> list:
+    """Slot-pool multistart for ARBITRARY per-coordinate missingness —
+    :func:`train_em_markov_pool`'s scheduler driving the masked-filter
+    trainer: R slots share one filter-kernel density pass (R·C
+    parameter rows through the cluster loop) and one statistics read
+    per iteration, with slots refilled the moment an occupant
+    terminates.  Per-candidate results equal standalone
+    :func:`train_em_masked_kalman` runs (f64), in candidate order.
+    Returns ``[(params, assign (n,), iters, status), ...]``."""
+    n = z.shape[1]
+    C = params_list[0].pi.shape[0]
+    R = max(1, min(R, len(params_list)))
+    K = max(1, int(sync_every))
+    mode = _pallas_kalman_mode() if pallas_mode is None else pallas_mode
+    z4 = x4 = None
+    tc = bn = 0
+    if mode != "off":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_kalman
+
+        z4, x4, tc, bn = pallas_kalman.pack_masked_kalman(z, x, C * R)
+
+    def window(stack, assigns, status, iters, force):
+        return _pool_window_masked_kalman(
+            stack,
+            assigns,
+            status,
+            iters,
+            force,
+            z,
+            x,
+            z4,
+            x4,
+            K=K,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=float(alpha),
+            min_members=min_members,
+            pallas_mode=mode,
+            t_chunk=tc,
+            block_cols=bn,
+        )
+
+    return _run_slot_pool(
+        window,
+        params_list,
+        assign_list,
+        R=R,
+        C=C,
+        n=n,
+        n_state=n,
+        n_steps=n_steps,
+        min_members=min_members,
+    )
 
 
 @functools.partial(
@@ -1713,146 +1971,36 @@ def _pool_window(
     )
 
 
-def train_em_markov_pool(
-    params_list,  # sequence of per-candidate MixtureParams
-    assign_list,  # sequence of per-candidate (n,) int assignments
-    z: jax.Array,  # (T, n, d) NaN-suffix-padded — shared
-    x: jax.Array,  # (T, n, l)
-    lens: jax.Array,  # (n,) int32
+def _run_slot_pool(
+    window,
+    params_list,
+    assign_list,
     *,
-    R: int = 32,
-    n_steps: int = 100,
-    reg_mode: str = "lstsq",
-    alpha: float = 0.0,
-    min_members: int = 3,
-    sync_every: int = 8,
-    u: jax.Array = None,
-    mesh=None,  # jax.sharding.Mesh with a "data" axis → data-parallel
+    R: int,
+    C: int,
+    n: int,
+    n_state: int,
+    n_steps: int,
+    min_members: int,
 ) -> list:
-    """Slot-pool multistart: train every candidate through R kernel
-    slots, REFILLING a slot with the next candidate the moment its
-    occupant terminates — unlike the fixed-chunk
-    :func:`train_em_markov_multi`, no slot idles waiting for a chunk's
-    slowest restart, so the convergence-spread waste that caps the
-    useful chunk size disappears and R can ride the kernel's large-R
-    efficiency (PARITY: R=32 runs ~4.6× a single restart, but a fixed
-    R=32 chunk wastes most of that on spread).
-
-    A freshly inserted candidate takes its initial M step via the
-    per-slot ``force_prev`` flag IN THE SAME dispatch as the other
-    slots' argmax iterations — insertion costs zero extra kernel
-    passes.  The host syncs only every ``sync_every`` iterations: a
-    module-level jitted window (:func:`_pool_window`) runs K fused
-    multi-iterations per dispatch with per-slot freezing, so a slot
-    idles at most K−1 passes after terminating before its refill (vs
-    the full chunk spread).  Each candidate's trajectory, iteration
-    count and status are identical to a standalone
-    :func:`train_em_markov` run (same per-row dot products; verified in
-    f64), and results are returned in candidate order, so the
-    first-strictly-greater winner rule is unaffected.  Returns
-    ``[(params, assign (n,), iters, status), ...]`` per candidate.
-
-    With ``mesh=`` (a ``jax.sharding.Mesh`` carrying a ``"data"`` axis)
-    the window runs data-parallel over the mesh — every device holds
-    all R slot parameter rows and its own trajectory shard, and each
-    iteration psums the per-restart statistics blocks exactly like
-    :func:`..parallel.sharded_em.train_em_markov_multi_shardmap`; the
-    host scheduling (refills, candidate order, winner rule) is
-    unchanged and results equal the single-device pool up to psum
-    reassociation (exact on the f64 test mesh).
-
-    Reference protocol: mixture:1368-1471 (n_starts sequential fits).
-    """
+    """Generic host scheduler for slot-pool multistart: R device slots,
+    refilled the moment an occupant terminates; candidates that fail the
+    init guard are recorded immediately (status 3, zero iterations).
+    ``window(stack, assigns, status, iters, force)`` advances every slot
+    K iterations on-device (per-slot freezing + force_prev insertion —
+    see :func:`_pool_window` for the Markov instance).  Returns
+    ``[(params, assign (n,), iters, status), ...]`` in candidate order.
+    The engine-specific pools (:func:`train_em_markov_pool`,
+    :func:`train_em_masked_kalman_pool`) build the window and delegate
+    here."""
     import numpy as np
 
     n_cand = len(params_list)
     assert len(assign_list) == n_cand
     results = [None] * n_cand
-    T, n, d = z.shape
-    l = x.shape[-1]
-    C = params_list[0].pi.shape[0]
-    R = max(1, min(R, n_cand))
-    K = max(1, int(sync_every))
-
-    if mesh is not None:
-        from multimodal_trajectory_modeling_tpu.parallel import sharded_em
-
-        window, n_state = sharded_em.pool_window_for_mesh(
-            z,
-            x,
-            lens,
-            mesh=mesh,
-            K=K,
-            n_steps=n_steps,
-            reg_mode=reg_mode,
-            alpha=float(alpha),
-            min_members=min_members,
-            u=u,
-        )
-    else:
-        import os as _os
-
-        n_state = n
-        lens_w, u_w = lens, u
-        # materialize Φ once for the whole pool (train_em_markov's
-        # default precompute, same env opt-out): every slot's iteration
-        # then reads Φ — no per-window feature build, half-width GEMMs.
-        # Long T (packed ACC build past its T·s ≤ 512 VMEM cap) always
-        # runs from the canonical-layout grid materialization — the
-        # packed multi kernel has no long-T mode.
-        packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-        phi_layout = "compact"
-        if packed_ok:
-            if u_w is None:
-                z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-                x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-                u_w = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
-            phi_w = (
-                pack_markov_features(
-                    u_w, lens, T=T, d=d, l=l, dtype=z.dtype
-                )
-                if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-                else None
-            )
-        else:
-            from multimodal_trajectory_modeling_tpu.ops import (
-                pallas_markov,
-            )
-
-            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-            interpret = jax.devices()[0].platform not in ("tpu",)
-            phi_w = pallas_markov.markov_materialize_features_longT(
-                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
-            )
-            phi_layout = "canonical"
-            u_w = None
-
-        def window(stack, assigns, status, iters, force):
-            return _pool_window(
-                stack,
-                assigns,
-                status,
-                iters,
-                force,
-                lens_w,
-                u_w,
-                phi_w,
-                T=T,
-                K=K,
-                n_steps=n_steps,
-                reg_mode=reg_mode,
-                alpha=float(alpha),
-                min_members=min_members,
-                phi_layout=phi_layout,
-            )
-
     next_cand = 0
 
     def take_next():
-        """Next candidate that survives the init guard; init-abort
-        candidates are recorded immediately (reference: status 3, raw
-        params, zero iterations)."""
         nonlocal next_cand
         while next_cand < n_cand:
             i = next_cand
@@ -1944,6 +2092,149 @@ def train_em_markov_pool(
             refill(done_rows)
 
     return results
+
+
+def train_em_markov_pool(
+    params_list,  # sequence of per-candidate MixtureParams
+    assign_list,  # sequence of per-candidate (n,) int assignments
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded — shared
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+    *,
+    R: int = 32,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    sync_every: int = 8,
+    u: jax.Array = None,
+    mesh=None,  # jax.sharding.Mesh with a "data" axis → data-parallel
+) -> list:
+    """Slot-pool multistart: train every candidate through R kernel
+    slots, REFILLING a slot with the next candidate the moment its
+    occupant terminates — unlike the fixed-chunk
+    :func:`train_em_markov_multi`, no slot idles waiting for a chunk's
+    slowest restart, so the convergence-spread waste that caps the
+    useful chunk size disappears and R can ride the kernel's large-R
+    efficiency (PARITY: R=32 runs ~4.6× a single restart, but a fixed
+    R=32 chunk wastes most of that on spread).
+
+    A freshly inserted candidate takes its initial M step via the
+    per-slot ``force_prev`` flag IN THE SAME dispatch as the other
+    slots' argmax iterations — insertion costs zero extra kernel
+    passes.  The host syncs only every ``sync_every`` iterations: a
+    module-level jitted window (:func:`_pool_window`) runs K fused
+    multi-iterations per dispatch with per-slot freezing, so a slot
+    idles at most K−1 passes after terminating before its refill (vs
+    the full chunk spread).  Each candidate's trajectory, iteration
+    count and status are identical to a standalone
+    :func:`train_em_markov` run (same per-row dot products; verified in
+    f64), and results are returned in candidate order, so the
+    first-strictly-greater winner rule is unaffected.  Returns
+    ``[(params, assign (n,), iters, status), ...]`` per candidate.
+
+    With ``mesh=`` (a ``jax.sharding.Mesh`` carrying a ``"data"`` axis)
+    the window runs data-parallel over the mesh — every device holds
+    all R slot parameter rows and its own trajectory shard, and each
+    iteration psums the per-restart statistics blocks exactly like
+    :func:`..parallel.sharded_em.train_em_markov_multi_shardmap`; the
+    host scheduling (refills, candidate order, winner rule) is
+    unchanged and results equal the single-device pool up to psum
+    reassociation (exact on the f64 test mesh).
+
+    Reference protocol: mixture:1368-1471 (n_starts sequential fits).
+    """
+    n_cand = len(params_list)
+    T, n, d = z.shape
+    l = x.shape[-1]
+    C = params_list[0].pi.shape[0]
+    R = max(1, min(R, n_cand))
+    K = max(1, int(sync_every))
+
+    if mesh is not None:
+        from multimodal_trajectory_modeling_tpu.parallel import sharded_em
+
+        window, n_state = sharded_em.pool_window_for_mesh(
+            z,
+            x,
+            lens,
+            mesh=mesh,
+            K=K,
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=float(alpha),
+            min_members=min_members,
+            u=u,
+        )
+    else:
+        import os as _os
+
+        n_state = n
+        lens_w, u_w = lens, u
+        # materialize Φ once for the whole pool (train_em_markov's
+        # default precompute, same env opt-out): every slot's iteration
+        # then reads Φ — no per-window feature build, half-width GEMMs.
+        # Long T (packed ACC build past its T·s ≤ 512 VMEM cap) always
+        # runs from the canonical-layout grid materialization — the
+        # packed multi kernel has no long-T mode.
+        packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
+        phi_layout = "compact"
+        if packed_ok:
+            if u_w is None:
+                z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+                x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+                u_w = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+            phi_w = (
+                pack_markov_features(
+                    u_w, lens, T=T, d=d, l=l, dtype=z.dtype
+                )
+                if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+                else None
+            )
+        else:
+            from multimodal_trajectory_modeling_tpu.ops import (
+                pallas_markov,
+            )
+
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            interpret = jax.devices()[0].platform not in ("tpu",)
+            phi_w = pallas_markov.markov_materialize_features_longT(
+                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+            )
+            phi_layout = "canonical"
+            u_w = None
+
+        def window(stack, assigns, status, iters, force):
+            return _pool_window(
+                stack,
+                assigns,
+                status,
+                iters,
+                force,
+                lens_w,
+                u_w,
+                phi_w,
+                T=T,
+                K=K,
+                n_steps=n_steps,
+                reg_mode=reg_mode,
+                alpha=float(alpha),
+                min_members=min_members,
+                phi_layout=phi_layout,
+            )
+
+    return _run_slot_pool(
+        window,
+        params_list,
+        assign_list,
+        R=R,
+        C=C,
+        n=n,
+        n_state=n_state,
+        n_steps=n_steps,
+        min_members=min_members,
+    )
 
 
 def complete_data_loglik_markov_multi(

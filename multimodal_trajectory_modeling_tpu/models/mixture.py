@@ -1125,30 +1125,59 @@ class MMLinGaussSS_marginalizable:
                 z.shape[0], patterns.shape[0]
             ):
                 # interior missingness at long T / unstructured
-                # missingness: per-candidate exact O(T) masked-filter
-                # trainer (same route train(fast=True) takes, by the
-                # shared predicate); the complete-data objective
-                # re-evaluates the filter densities under a fresh E
-                for cand in candidates:
-                    params_c, assign_c, _it, _st = (
-                        em.train_em_masked_kalman(
-                            cand._stacked_params(),
-                            jnp.asarray(cand.cluster_assignment),
-                            z,
-                            x,
-                            n_steps=n_steps,
-                            reg_mode=reg_mode,
-                            alpha=float(self.alpha),
-                        )
+                # missingness: exact O(T) masked-filter trainer (same
+                # route train(fast=True) takes, by the shared
+                # predicate); the complete-data objective re-evaluates
+                # the filter densities under a fresh E.  With >1
+                # candidate the R-slot pool shares one filter-density
+                # pass and one statistics read per iteration across
+                # slots (per-candidate trajectories equal standalone
+                # runs, candidate order preserved).
+                r_fuse = int(os.environ.get("MTM_MULTISTART_FUSE", "32"))
+                if r_fuse > 1 and len(candidates) > 1:
+                    pooled = em.train_em_masked_kalman_pool(
+                        [c._stacked_params() for c in candidates],
+                        [
+                            np.asarray(c.cluster_assignment)
+                            for c in candidates
+                        ],
+                        z,
+                        x,
+                        R=r_fuse,
+                        n_steps=n_steps,
+                        reg_mode=reg_mode,
+                        alpha=float(self.alpha),
                     )
-                    obj = float(
-                        em.complete_data_loglik_masked_kalman(
-                            params_c, z, x
+                    for params_c, assign_c, _it, _st in pooled:
+                        obj = float(
+                            em.complete_data_loglik_masked_kalman(
+                                params_c, z, x
+                            )
                         )
-                    )
-                    results_params.append(params_c)
-                    results_assign.append(np.asarray(assign_c))
-                    objectives.append(obj)
+                        results_params.append(params_c)
+                        results_assign.append(np.asarray(assign_c))
+                        objectives.append(obj)
+                else:
+                    for cand in candidates:
+                        params_c, assign_c, _it, _st = (
+                            em.train_em_masked_kalman(
+                                cand._stacked_params(),
+                                jnp.asarray(cand.cluster_assignment),
+                                z,
+                                x,
+                                n_steps=n_steps,
+                                reg_mode=reg_mode,
+                                alpha=float(self.alpha),
+                            )
+                        )
+                        obj = float(
+                            em.complete_data_loglik_masked_kalman(
+                                params_c, z, x
+                            )
+                        )
+                        results_params.append(params_c)
+                        results_assign.append(np.asarray(assign_c))
+                        objectives.append(obj)
             else:
                 order = np.argsort(pid_np, kind="stable")
                 sizes = tuple(

@@ -626,3 +626,45 @@ def test_fast_multistart_longT_pooled_matches_sequential(monkeypatch):
     np.testing.assert_array_equal(
         mdl_pool.cluster_assignment, mdl_seq.cluster_assignment
     )
+
+
+def test_fast_multistart_masked_filter_pooled_matches_sequential(
+    monkeypatch,
+):
+    """Unstructured (interior) missingness routed to the masked-filter
+    trainer: the pooled fast multistart must reproduce the sequential
+    per-candidate route — same winner, assignments, objectives (f64).
+    The missingness is made unstructured enough to trip the > 256
+    -patterns predicate at small T."""
+    rng = np.random.default_rng(17)
+    T, n, d, l = 8, 300, 3, 2
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l)) + 0.7 * np.repeat(
+        z[:, :, :1], l, axis=2
+    )
+    z[:, n // 2 :, :] += 2.0
+    z[rng.random(z.shape) < 0.15] = np.nan
+    x[rng.random(x.shape) < 0.15] = np.nan
+
+    def run(fuse):
+        monkeypatch.setenv("MTM_MULTISTART_FUSE", fuse)
+        np.random.seed(2468)
+        return MMLinGaussSS_marginalizable(
+            n_clusters=2,
+            states=z,
+            observations=x,
+            init="random",
+        ).train_with_multiple_random_starts(
+            n_starts=3,
+            n_steps=8,
+            use_cache=False,
+            fast=True,
+            return_objectives=True,
+        )
+
+    mdl_seq, obj_seq = run("1")
+    mdl_pool, obj_pool = run("2")
+    np.testing.assert_allclose(obj_pool, obj_seq, rtol=1e-9)
+    np.testing.assert_array_equal(
+        mdl_pool.cluster_assignment, mdl_seq.cluster_assignment
+    )

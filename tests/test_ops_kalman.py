@@ -244,3 +244,94 @@ def test_pallas_masked_kalman_matches_xla():
         )
         assert got[:, 0] == pytest.approx(0.0, abs=0.0)
         np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def _interior_problem(seed, C=2, T=8, n=400, d=3, l=2):
+    import jax
+
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l)) + 0.7 * np.repeat(z[:, :, :1], l, 2)
+    z[:, n // 2 :] += 2.0
+    z[rng.random(z.shape) < 0.12] = np.nan
+    x[rng.random(x.shape) < 0.12] = np.nan
+
+    def spd(k):
+        M = rng.normal(size=(k, k))
+        return M @ M.T / k + np.eye(k)
+
+    def one_params():
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.asarray(np.stack([spd(d)] * C)),
+            A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+            G=jnp.asarray(np.stack([spd(d)] * C)),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.asarray(np.stack([spd(l)] * C)),
+        )
+
+    return jnp.asarray(z), jnp.asarray(x), one_params, rng
+
+
+@pytest.mark.parametrize("mode", ["off", "interpret"])
+def test_masked_kalman_pool_matches_standalone(mode):
+    """The masked-filter slot pool (R·C parameter rows through one
+    filter pass + one mstep_multi statistics read) must reproduce
+    per-candidate standalone train_em_masked_kalman runs — refills,
+    force_prev insertion and capped/converged statuses included (f64;
+    both the XLA filter and the Pallas kernel in interpret mode)."""
+    import jax
+
+    zj, xj, one_params, rng = _interior_problem(3)
+    C, n = 2, zj.shape[1]
+    n_cand = 5
+    plist = [one_params() for _ in range(n_cand)]
+    alist = [
+        rng.integers(0, C, size=n).astype(np.int32)
+        for _ in range(n_cand)
+    ]
+    refs = [
+        em.train_em_masked_kalman(
+            plist[i], jnp.asarray(alist[i]), zj, xj,
+            n_steps=12, pallas_mode=mode,
+        )
+        for i in range(n_cand)
+    ]
+    got = em.train_em_masked_kalman_pool(
+        plist, alist, zj, xj, R=2, n_steps=12, sync_every=3,
+        pallas_mode=mode,
+    )
+    assert len(got) == n_cand
+    for i, ((pr, ar, ir, sr), (pg, ag, ig, sg)) in enumerate(
+        zip(refs, got)
+    ):
+        assert (int(ir), int(sr)) == (int(ig), int(sg)), i
+        np.testing.assert_array_equal(
+            np.asarray(ar), np.asarray(ag), err_msg=f"cand {i}"
+        )
+        for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(pg)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-10, atol=1e-12,
+                err_msg=f"cand {i}",
+            )
+
+
+def test_mstep_multi_matches_mstep_rows():
+    """Each restart row of mstep_multi equals a separate mstep call."""
+    import jax
+
+    zj, xj, _one, rng = _interior_problem(9)
+    C, n = 3, zj.shape[1]
+    R = 4
+    assign = rng.integers(0, C, size=(R, n)).astype(np.int32)
+    multi = em.mstep_multi(zj, xj, jnp.asarray(assign), n_clusters=C)
+    for r in range(R):
+        single = em.mstep(zj, xj, jnp.asarray(assign[r]), n_clusters=C)
+        for a, b in zip(
+            jax.tree.leaves(single),
+            jax.tree.leaves(jax.tree.map(lambda q: q[r], multi)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-13
+            )
