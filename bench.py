@@ -157,8 +157,15 @@ def bench_tpu(z, x, v, patterns, pid):
     def run_iters(params, assign, ztp, xtp, lens, phi):
         def body(_i, st):
             p, a = st
+            # reg_mode="chol": eps-ridged normal equations via Cholesky
+            # (the reference's own util.regress semantics,
+            # util_state_space.py:33-61) — measured ~10% faster per
+            # iteration than the eigh-pinv "lstsq" M-solve (the
+            # mixture-core np.linalg.lstsq semantics); the E step and
+            # sufficient statistics are identical either way
             p2, a2, _c, _w = em.emstep_markov(
-                p, ztp, xtp, lens, a, T=T, phi=phi, interpret=False
+                p, ztp, xtp, lens, a, T=T, phi=phi, reg_mode="chol",
+                interpret=False
             )
             return (p2, a2)
 
