@@ -1128,13 +1128,21 @@ class MMLinGaussSS_marginalizable:
                 # missingness: exact O(T) masked-filter trainer (same
                 # route train(fast=True) takes, by the shared
                 # predicate); the complete-data objective re-evaluates
-                # the filter densities under a fresh E.  With >1
-                # candidate the R-slot pool shares one filter-density
-                # pass and one statistics read per iteration across
-                # slots (per-candidate trajectories equal standalone
-                # runs, candidate order preserved).
+                # the filter densities under a fresh E.  Candidates run
+                # SEQUENTIALLY by default: the scalarized filter is
+                # compute-bound and linear in clusters, so the R-slot
+                # pool has no shared work to amortize (measured 0.5-0.8×
+                # sequential on a v5e at n=1e5 — PARITY) — unlike the
+                # Markov kernel, whose batch read/feature build the pool
+                # shares.  MTM_MASKED_POOL=1 opts into the pool
+                # (identical results, tested).
                 r_fuse = int(os.environ.get("MTM_MULTISTART_FUSE", "32"))
-                if r_fuse > 1 and len(candidates) > 1:
+                use_pool = (
+                    os.environ.get("MTM_MASKED_POOL", "0") == "1"
+                    and r_fuse > 1
+                    and len(candidates) > 1
+                )
+                if use_pool:
                     pooled = em.train_em_masked_kalman_pool(
                         [c._stacked_params() for c in candidates],
                         [
@@ -1158,18 +1166,57 @@ class MMLinGaussSS_marginalizable:
                         results_assign.append(np.asarray(assign_c))
                         objectives.append(obj)
                 else:
-                    for cand in candidates:
-                        params_c, assign_c, _it, _st = (
-                            em.train_em_masked_kalman(
-                                cand._stacked_params(),
-                                jnp.asarray(cand.cluster_assignment),
-                                z,
-                                x,
-                                n_steps=n_steps,
-                                reg_mode=reg_mode,
-                                alpha=float(self.alpha),
-                            )
+                    # with MTM_MULTICHIP=1 each candidate's fit runs
+                    # data-parallel over the mesh (filter densities are
+                    # per-instance; per-iteration psums of the masked
+                    # statistics — sharded_em.train_em_masked_kalman_
+                    # shardmap, bit-equal up to psum reassociation)
+                    pool_mesh = None
+                    if (
+                        os.environ.get("MTM_MULTICHIP") == "1"
+                        and len(jax.devices()) > 1
+                        # equal shards required: the masked shardmap
+                        # trainer has no pad-lane protocol (an all-NaN
+                        # pad row would still vote in counts/switches)
+                        and z.shape[1] % len(jax.devices()) == 0
+                    ):
+                        pool_mesh = jax.sharding.Mesh(
+                            np.asarray(jax.devices()), ("data",)
                         )
+                    for cand in candidates:
+                        if pool_mesh is not None:
+                            from multimodal_trajectory_modeling_tpu.parallel import (  # noqa: E501
+                                sharded_em,
+                            )
+
+                            params_c, assign_c, _it, _st = (
+                                sharded_em.train_em_masked_kalman_shardmap(
+                                    cand._stacked_params(),
+                                    jnp.asarray(
+                                        cand.cluster_assignment
+                                    ),
+                                    z,
+                                    x,
+                                    mesh=pool_mesh,
+                                    n_steps=n_steps,
+                                    reg_mode=reg_mode,
+                                    alpha=float(self.alpha),
+                                )
+                            )
+                        else:
+                            params_c, assign_c, _it, _st = (
+                                em.train_em_masked_kalman(
+                                    cand._stacked_params(),
+                                    jnp.asarray(
+                                        cand.cluster_assignment
+                                    ),
+                                    z,
+                                    x,
+                                    n_steps=n_steps,
+                                    reg_mode=reg_mode,
+                                    alpha=float(self.alpha),
+                                )
+                            )
                         obj = float(
                             em.complete_data_loglik_masked_kalman(
                                 params_c, z, x

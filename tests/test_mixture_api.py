@@ -646,8 +646,9 @@ def test_fast_multistart_masked_filter_pooled_matches_sequential(
     z[rng.random(z.shape) < 0.15] = np.nan
     x[rng.random(x.shape) < 0.15] = np.nan
 
-    def run(fuse):
+    def run(fuse, pool):
         monkeypatch.setenv("MTM_MULTISTART_FUSE", fuse)
+        monkeypatch.setenv("MTM_MASKED_POOL", pool)
         np.random.seed(2468)
         return MMLinGaussSS_marginalizable(
             n_clusters=2,
@@ -662,8 +663,8 @@ def test_fast_multistart_masked_filter_pooled_matches_sequential(
             return_objectives=True,
         )
 
-    mdl_seq, obj_seq = run("1")
-    mdl_pool, obj_pool = run("2")
+    mdl_seq, obj_seq = run("1", "0")
+    mdl_pool, obj_pool = run("2", "1")  # MTM_MASKED_POOL opt-in
     np.testing.assert_allclose(obj_pool, obj_seq, rtol=1e-9)
     np.testing.assert_array_equal(
         mdl_pool.cluster_assignment, mdl_seq.cluster_assignment

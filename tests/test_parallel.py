@@ -694,3 +694,46 @@ def test_markov_multi_shardmap_longT_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
         )
+
+
+def test_mixture_multistart_masked_filter_multichip(monkeypatch):
+    """MTM_MULTICHIP=1 on the masked-filter multistart route: each
+    sequential candidate trains data-parallel through
+    train_em_masked_kalman_shardmap; winner/assignments/objectives must
+    equal the single-device run (f64 mesh — psums exact here)."""
+    from multimodal_trajectory_modeling_tpu.models.mixture import (
+        MMLinGaussSS_marginalizable,
+    )
+
+    rng = np.random.default_rng(19)
+    T, n, d, l = 8, 320, 3, 2  # n divisible by 8 devices
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l)) + 0.7 * np.repeat(
+        z[:, :, :1], l, axis=2
+    )
+    z[:, n // 2 :, :] += 2.0
+    z[rng.random(z.shape) < 0.15] = np.nan
+    x[rng.random(x.shape) < 0.15] = np.nan
+
+    def run(multichip):
+        if multichip:
+            monkeypatch.setenv("MTM_MULTICHIP", "1")
+        else:
+            monkeypatch.delenv("MTM_MULTICHIP", raising=False)
+        np.random.seed(1357)
+        return MMLinGaussSS_marginalizable(
+            n_clusters=2, states=z, observations=x, init="random"
+        ).train_with_multiple_random_starts(
+            n_starts=3,
+            n_steps=8,
+            use_cache=False,
+            fast=True,
+            return_objectives=True,
+        )
+
+    mdl1, o1 = run(False)
+    mdl2, o2 = run(True)
+    np.testing.assert_allclose(o2, o1, rtol=1e-9)
+    np.testing.assert_array_equal(
+        mdl2.cluster_assignment, mdl1.cluster_assignment
+    )
