@@ -38,11 +38,20 @@ BENCH_ITERS = 200
 _LENGTHS = (T // 2, T - 2, T)
 
 
-def _make_data(n):
+def _make_data(n, layout="tp"):
     """Generate, NaN-pad and pack the batch entirely on-device — no
     million-row host↔device round trips.  The missingness patterns are the
     3 trajectory lengths, so ``patterns``/``pattern_id`` are constructed
-    analytically instead of via a host-side unique()."""
+    analytically instead of via a host-side unique().
+
+    ``layout="tp"`` (the single-chip headline) returns the iteration
+    -invariant transposed ``(T·dim, n)`` batch the fused kernel reads —
+    the intermediate ``(T, n, dim)`` tensors are freed inside the build
+    jit, which is what lets the n=1e7 capacity run fit one 16 GB chip.
+    ``layout="tnd"`` returns the ``(T, n, dim)`` tensors for the
+    shard_map multichip path.  Either way the joint-packed ``v`` rows
+    and the ``(T, ·, dim)`` slices for the NumPy baseline cover only the
+    ``N_BASE``-row subsample (a full v is 32 GB of dead HBM at n=1e7)."""
     from multimodal_trajectory_modeling_tpu import ops
     from multimodal_trajectory_modeling_tpu.models import em
 
@@ -65,8 +74,8 @@ def _make_data(n):
         ]
     )
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def build(key, lens_dev, n):
+    @functools.partial(jax.jit, static_argnames=("n", "layout"))
+    def build(key, lens_dev, n, layout):
         z, x = ops.sample_trajectories(
             key,
             n,
@@ -83,11 +92,26 @@ def _make_data(n):
         )  # (T, n) valid steps
         z = jnp.where(tmask[:, :, None], z, jnp.nan)
         x = jnp.where(tmask[:, :, None], x, jnp.nan)
-        v = em.pack_joint(z, x)
-        return z, x, v
+        z_base, x_base = z[:, :N_BASE], x[:, :N_BASE]
+        v_base = em.pack_joint(z_base, x_base)
+        if layout == "tnd":
+            return z, x, z_base, x_base, v_base
+        ztp = jnp.transpose(z, (0, 2, 1)).reshape(T * D_H, n)
+        xtp = jnp.transpose(x, (0, 2, 1)).reshape(T * D_O, n)
+        return ztp, xtp, z_base, x_base, v_base
 
-    z, x, v = build(jax.random.PRNGKey(0), jnp.asarray(lens), n)
-    return z, x, v, jnp.asarray(patterns), jnp.asarray(pid)
+    b0, b1, z_base, x_base, v_base = build(
+        jax.random.PRNGKey(0), jnp.asarray(lens), n, layout
+    )
+    return (
+        b0,
+        b1,
+        np.asarray(z_base),
+        np.asarray(x_base),
+        np.asarray(v_base),
+        jnp.asarray(patterns),
+        jnp.asarray(pid),
+    )
 
 
 def _params(rng, dtype=jnp.float32):
@@ -104,9 +128,10 @@ def _params(rng, dtype=jnp.float32):
     )
 
 
-def bench_tpu(z, x, v, patterns, pid):
+def bench_tpu(ztp, xtp, patterns, pid):
     """Time BENCH_ITERS fused EM iterations (E + M, no convergence exit)
-    under one jit, steady-state."""
+    under one jit, steady-state.  Takes the transposed ``(T·dim, n)``
+    batch from ``_make_data(layout="tp")``."""
     from multimodal_trajectory_modeling_tpu.models import em
 
     rng = np.random.default_rng(1)
@@ -131,12 +156,6 @@ def bench_tpu(z, x, v, patterns, pid):
     plens = np.asarray(patterns[:, : T * D_H]).reshape(-1, T, D_H)
     plens = plens.all(-1).sum(-1)
     lens = jnp.asarray(plens[np.asarray(pid)].astype(np.int32))
-    ztp = jax.jit(lambda a: jnp.transpose(a, (0, 2, 1)).reshape(T * D_H, -1))(
-        z
-    )
-    xtp = jax.jit(lambda a: jnp.transpose(a, (0, 2, 1)).reshape(T * D_O, -1))(
-        x
-    )
     # packed batch for the shift-product kernel — iteration-invariant,
     # built once (re-packing per step would re-read the whole batch)
     u = jax.jit(functools.partial(em.pack_markov_batch, T=T, d=D_H, l=D_O))(
@@ -152,6 +171,12 @@ def bench_tpu(z, x, v, patterns, pid):
     phi = jax.jit(
         functools.partial(em.pack_markov_features, T=T, d=D_H, l=D_O)
     )(u, lens)
+    # u is dead once Φ exists (the Φ-route iteration reads only Φ), but
+    # unlike train_em_markov's single-jit liveness a Python ref here
+    # keeps its 3.2 GB/1e6-rows buffer resident — drop it so the
+    # n=1e7 capacity run fits in one chip's 16 GB
+    phi.block_until_ready()
+    del u
 
     @jax.jit
     def run_iters(params, assign, ztp, xtp, lens, phi):
@@ -173,7 +198,7 @@ def bench_tpu(z, x, v, patterns, pid):
             0, BENCH_ITERS, body, (params, assign)
         )
 
-    assign = jnp.zeros((v.shape[0],), jnp.int32)
+    assign = jnp.zeros((ztp.shape[1],), jnp.int32)
     params, assign = run_iters(params0, assign, ztp, xtp, lens, phi)
     float(params.A[0, 0, 0])  # compile + warm; host pull = hard sync
     # (block_until_ready returns early on this remote backend — a device→
@@ -290,13 +315,15 @@ def _phi_bytes_per_iter(n):
 def main():
     import os as _os
 
-    z, x, v, patterns, pid = _make_data(N_FULL)
-
-    if (
+    multichip = (
         _os.environ.get("MTM_BENCH_MULTICHIP") == "1"
         and len(jax.devices()) > 1
-    ):
-        rate, n_chips = bench_tpu_multichip(z, x, patterns, pid)
+    )
+    layout = "tnd" if multichip else "tp"
+    b0, b1, zb, xb, vb, patterns, pid = _make_data(N_FULL, layout=layout)
+
+    if multichip:
+        rate, n_chips = bench_tpu_multichip(b0, b1, patterns, pid)
         print(
             json.dumps(
                 {
@@ -312,7 +339,7 @@ def main():
         )
         return
 
-    tpu_iters_per_sec = bench_tpu(z, x, v, patterns, pid)
+    tpu_iters_per_sec = bench_tpu(b0, b1, patterns, pid)
     flops = _analytic_flops_per_iter(N_FULL)
     tflops = flops * tpu_iters_per_sec / 1e12
     # the kernel streams the materialized Φ (Fc_pad, n) f32 features from
@@ -320,9 +347,9 @@ def main():
     # dispatch floor); this, not FLOPs, is the binding resource
     hbm_gbps = _phi_bytes_per_iter(N_FULL) * tpu_iters_per_sec / 1e9
 
-    zb = np.asarray(z[:, :N_BASE], dtype=float)
-    xb = np.asarray(x[:, :N_BASE], dtype=float)
-    vb = np.asarray(v[:N_BASE], dtype=float)
+    zb = np.asarray(zb, dtype=float)
+    xb = np.asarray(xb, dtype=float)
+    vb = np.asarray(vb, dtype=float)
     # best-of-5: take the baseline's FASTEST run (single timings swung
     # ~3× run-to-run with host contention, making vs_baseline noisy;
     # the fastest run is also the most conservative comparison)
@@ -334,7 +361,14 @@ def main():
             {
                 "metric": "em_iterations_per_sec_1M_traj",
                 "value": round(tpu_iters_per_sec, 4),
-                "unit": "EM iterations/sec (n=1e6, T=10, d=5, l=3, C=16)",
+                "unit": (
+                    "EM iterations/sec (n=1e6, T=10, d=5, l=3, C=16)"
+                    if N_FULL == 1_000_000
+                    else (
+                        f"EM iterations/sec (n={N_FULL:.0e}, T=10, "
+                        "d=5, l=3, C=16)"
+                    )
+                ),
                 # extrapolated: the NumPy reference path is timed on a
                 # 500-row subsample and scaled linearly to n=1e6 (per-row
                 # independent det/solve — cost is linear in n)

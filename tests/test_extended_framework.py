@@ -154,6 +154,7 @@ def _two_cluster_data(seed=42, n_data=120, n_timesteps=15):
     return z, x, labels
 
 
+@pytest.mark.slow
 def test_generic_mixture_recovers_clusters(tmp_path, monkeypatch):
     import multimodal_trajectory_modeling_tpu.models.ssm_mixture as ssmm_mod
 

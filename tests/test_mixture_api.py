@@ -587,6 +587,7 @@ def test_single_cluster_trains_all_paths(synth):
     )
 
 
+@pytest.mark.slow
 def test_fast_multistart_longT_pooled_matches_sequential(monkeypatch):
     """Long-T suffix data (past the packed kernel's T·s ≤ 512 gate):
     the pooled fast multistart (canonical-Φ slot pool + Φ-evaluated

@@ -3,6 +3,7 @@ joint-covariance path exactly (f64) for suffix missingness — including
 length-1 rows — and must scale to T where the dense path cannot go."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -546,6 +547,7 @@ def test_train_em_markov_longT_precompute_matches():
         )
 
 
+@pytest.mark.slow
 def test_train_em_markov_multi_longT_matches_standalone():
     """Past the packed kernel's T·s ≤ 512 gate the multi-restart trainer
     must route the canonical-layout materialized features and reproduce

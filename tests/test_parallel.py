@@ -414,6 +414,7 @@ def test_markov_pool_shardmap_matches_unsharded(problem):
             )
 
 
+@pytest.mark.slow
 def test_mixture_multistart_multichip_matches_single(problem, monkeypatch):
     """MTM_MULTICHIP=1 routes the mixture's fast multistart pool over a
     data mesh; winner, assignments and objectives must equal the
@@ -505,6 +506,7 @@ def test_masked_kalman_shardmap_matches_unsharded(problem):
         )
 
 
+@pytest.mark.slow
 def test_mixture_multistart_multichip_with_refills(problem, monkeypatch):
     """MTM_MULTICHIP=1 with fewer pool slots than candidates: slot
     refills must ride the data mesh too, reproducing the single-device
@@ -619,6 +621,7 @@ def test_markov_shardmap_longT_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_markov_pool_shardmap_longT_matches_unsharded():
     """The mesh-mode slot pool at long T (canonical Φ materialized once
     over the mesh, u never built) must equal the single-device pool."""
@@ -657,6 +660,7 @@ def test_markov_pool_shardmap_longT_matches_unsharded():
             )
 
 
+@pytest.mark.slow
 def test_markov_multi_shardmap_longT_matches_unsharded():
     """Data-parallel multi-restart trainer at long T: per-shard canonical
     Φ route must equal the single-device multi trainer (f64 mesh)."""
