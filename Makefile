@@ -30,6 +30,11 @@ statistics: $(wildcard posthoc/*.py)
 test:
 	$(run-python) -m pytest tests/ -x -q
 
+# quick developer lane: single-process, deselects the slow end-to-end
+# protocol smokes (driver subprocesses, multistart pools) — <5 min
+test-quick:
+	$(run-python) -m pytest tests/ -q -m "not slow"
+
 # two concurrent single-process shards: halves the wall time and keeps
 # each process's XLA compile-state footprint low (a single process
 # accumulates enough CPU executables to segfault late compiles; the
