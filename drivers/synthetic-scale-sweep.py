@@ -39,7 +39,13 @@ MAX_STEPS = 50
 
 
 def main():
-    z, x, v, patterns, pid = bench._make_data(N)
+    # bench._make_data no longer materializes the full joint-packed v
+    # (the Markov headline path never reads it) — this sweep runs the
+    # dense train_em, so pack v here
+    z, x, _zb, _xb, _vb, patterns, pid = bench._make_data(
+        N, layout="tnd"
+    )
+    v = jax.jit(em.pack_joint)(z, x)
     rng = np.random.default_rng(0)
     n = v.shape[0]
     results = []

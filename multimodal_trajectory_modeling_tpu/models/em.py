@@ -70,13 +70,17 @@ __all__ = [
     "train_em",
     "train_em_sorted",
     "train_em_masked_kalman",
+    "train_em_masked_kalman_pool",
     "train_em_markov",
     "train_em_markov_multi",
     "train_em_markov_pool",
     "train_em_multistart",
     "pack_markov_batch",
+    "pack_markov_features",
     "emstep_markov",
     "emstep_markov_multi",
+    "emstep_masked_kalman_multi",
+    "mstep_multi",
     "complete_data_loglik_markov_multi",
     "emstep_markov_xla",
     "estep_assign_sorted",
@@ -562,6 +566,89 @@ def pack_markov_features(
         store_dtype=store_dtype,
         interpret=interpret,
     )
+
+
+def markov_packed_ok(T: int, d: int, l: int) -> bool:
+    """Whether the packed shift-product kernels fit VMEM at this shape
+    (T·s ≤ 512 with s the 8-aligned step sublanes) — past it the
+    grid-over-T kernels and the canonical feature layout take over."""
+    return T * 8 * ((d + l + 7) // 8) <= 512
+
+
+def _markov_features(
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32
+    *,
+    T: int,
+    d: int,
+    l: int,
+    u: jax.Array = None,  # reuse a pre-packed batch if the caller has one
+    precompute: bool = None,  # None → MTM_MARKOV_PRECOMP (default on)
+    phi_store=None,  # None → f32/f64; jnp.bfloat16 halves the Φ stream
+    interpret: bool = None,
+    longT_always_phi: bool = False,  # multi/pool: no grid fallback
+) -> tuple[jax.Array, jax.Array, str]:
+    """The one Φ-routing decision shared by every Markov EM trainer:
+    returns ``(u, phi, phi_layout)`` for :func:`emstep_markov` /
+    :func:`emstep_markov_multi`.
+
+    - packed shapes (:func:`markov_packed_ok`): pack the batch (unless
+      given) and, under ``precompute`` (the default), materialize the
+      compact-layout Φ so iterations are Φ-reading GEMMs;
+    - long T with ``precompute``: materialize the canonical-layout Φ
+      with the grid-over-T kernel — the packed batch is never built and
+      iterations are T-independent;
+    - long T without ``precompute``: nothing to build — each iteration
+      runs the grid-over-T kernels from the transposed batch (the
+      single-restart path only; the R-restart kernels have no grid
+      fallback, so multi/pool callers set ``longT_always_phi``).
+
+    ``precompute=None`` resolves ``MTM_MARKOV_PRECOMP`` HERE, at host
+    level — callers that jit must resolve it first and pass an explicit
+    bool (a jitted body would freeze the env into the trace).
+    ``phi_store`` is never env-resolved here: narrow Φ storage
+    (``MTM_MARKOV_PHI_BF16``) is a single-restart-path opt-in that
+    :func:`train_em_markov`'s wrapper resolves and passes explicitly."""
+    import os as _os
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    if precompute is None:
+        precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    if markov_packed_ok(T, d, l):
+        if u is None:
+            n = z.shape[1]
+            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+            u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+        phi = (
+            pack_markov_features(
+                u,
+                lens,
+                T=T,
+                d=d,
+                l=l,
+                dtype=z.dtype,
+                store_dtype=phi_store,
+                interpret=interpret,
+            )
+            if precompute
+            else None
+        )
+        return u, phi, "compact"
+    if not precompute and not longT_always_phi:
+        return None, None, "canonical"
+    # long T: grid-over-T canonical materialization, no packed batch
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    n = z.shape[1]
+    z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+    x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+    phi = pallas_markov.markov_materialize_features_longT(
+        z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+    )
+    return None, phi, "canonical"
 
 
 def emstep_markov(
@@ -1338,41 +1425,28 @@ def _pool_window_masked_kalman(
     force_prev insertion, capped counts) on the arbitrary-missingness
     trainer."""
 
-    def body(_k, state):
-        params, assigns, status, iters, force = state
-        new_params, new_assign, counts, switches = (
-            emstep_masked_kalman_multi(
-                params,
-                z,
-                x,
-                assigns,
-                force_prev=force,
-                reg_mode=reg_mode,
-                alpha=alpha,
-                pallas_mode=pallas_mode,
-                z4=z4,
-                x4=x4,
-                t_chunk=t_chunk,
-                block_cols=block_cols,
-            )
+    def emstep_fn(params, assigns, force):
+        return emstep_masked_kalman_multi(
+            params,
+            z,
+            x,
+            assigns,
+            force_prev=force,
+            reg_mode=reg_mode,
+            alpha=alpha,
+            pallas_mode=pallas_mode,
+            z4=z4,
+            x4=x4,
+            t_chunk=t_chunk,
+            block_cols=block_cols,
         )
-        fp = force > 0
-        active = (status == STATUS_RUNNING) & (iters < n_steps)
-        stepped = active & ~fp
-        _conv, _empty, adv_r, status_new = _em_termination(
-            switches, counts, status, min_members=min_members
-        )
-        advance = stepped & adv_r
-        take_new = (active & fp) | advance
-        params_out = _tree_select_rows(take_new, new_params, params)
-        assigns_out = jnp.where(active[:, None], new_assign, assigns)
-        status_out = jnp.where(stepped, status_new, status)
-        iters_out = iters + stepped.astype(jnp.int32)
-        force_out = jnp.where(active & fp, 0, force)
-        return (params_out, assigns_out, status_out, iters_out, force_out)
 
-    return jax.lax.fori_loop(
-        0, K, body, (params, assigns, status, iters, force)
+    return _pool_window_protocol(
+        emstep_fn,
+        K,
+        (params, assigns, status, iters, force),
+        n_steps=n_steps,
+        min_members=min_members,
     )
 
 
@@ -1545,16 +1619,6 @@ def train_em_sorted(
     return params_f, assign_f, iters, status
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_steps",
-        "reg_mode",
-        "alpha",
-        "min_members",
-        "precompute",
-    ),
-)
 def train_em_markov(
     params0: MixtureParams,
     assign0: jax.Array,
@@ -1581,9 +1645,63 @@ def train_em_markov(
     materializes the per-instance feature matrix Φ once before the loop
     (:func:`pack_markov_features`, ~1.4× the packed batch's memory) so
     each iteration is a Φ-reading GEMM kernel instead of a shift-product
-    rebuild — f64-identical trajectories either way."""
+    rebuild — f64-identical trajectories either way.  Env toggles
+    (``MTM_MARKOV_PRECOMP``, ``MTM_MARKOV_PHI_BF16``) are resolved here
+    at call time and enter the jitted impl as static arguments — they
+    are never read inside a trace, so flipping them between calls takes
+    effect (at the cost of one retrace)."""
     import os as _os
 
+    if precompute is None:
+        precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    # MTM_MARKOV_PHI_BF16=1 stores Φ in bfloat16 — halves the per-iter
+    # HBM stream at a ~3-digit feature-precision cost (opt-in: trained
+    # parameters then deviate from the f32/f64 reference trajectory)
+    phi_bf16 = _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
+    return _train_em_markov_impl(
+        params0,
+        assign0,
+        z,
+        x,
+        lens,
+        n_steps=n_steps,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        min_members=min_members,
+        precompute=bool(precompute),
+        phi_bf16=phi_bf16,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+        "precompute",
+        "phi_bf16",
+    ),
+)
+def _train_em_markov_impl(
+    params0: MixtureParams,
+    assign0: jax.Array,
+    z: jax.Array,
+    x: jax.Array,
+    lens: jax.Array,
+    *,
+    n_steps: int,
+    reg_mode: str,
+    alpha: float,
+    min_members: int,
+    precompute: bool,
+    phi_bf16: bool,
+) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
+    """One XLA program for the whole fit: transposes, packing, optional
+    Φ materialization and the EM while_loop trace together, so XLA
+    liveness frees the packed batch once Φ exists (n=1e7 fits one
+    chip)."""
     T, n, d = z.shape
     l = x.shape[-1]
     C = params0.pi.shape[0]
@@ -1591,48 +1709,29 @@ def train_em_markov(
     interpret = jax.devices()[0].platform not in ("tpu",)
 
     # iteration-invariant transposed + packed copies (computed once here,
-    # outside the while_loop)
+    # outside the while_loop); the Φ routing — packed vs grid-over-T
+    # materialization vs none — is the shared _markov_features decision
     z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
     x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-    u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
-    if precompute is None:
-        precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-    # the materialization kernel shares the packed kernel's VMEM budget
-    # (it runs the same ACC build); past that T the grid-over-T feature
-    # kernel materializes the T-independent canonical layout instead, so
-    # EM iterations decouple from trajectory length either way
-    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-    # MTM_MARKOV_PHI_BF16=1 stores Φ in bfloat16 — halves the per-iter
-    # HBM stream at a ~3-digit feature-precision cost (opt-in: trained
-    # parameters then deviate from the f32/f64 reference trajectory)
-    phi_store = (
-        jnp.bfloat16
-        if _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
+    packed_ok = markov_packed_ok(T, d, l)
+    u = (
+        pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
+        if packed_ok
         else None
     )
-    phi = None
-    phi_layout = "compact"
-    if precompute:
-        if packed_ok:
-            phi = pack_markov_features(
-                u,
-                lens,
-                T=T,
-                d=d,
-                l=l,
-                dtype=z.dtype,
-                store_dtype=phi_store,
-                interpret=interpret,
-            )
-        else:
-            from multimodal_trajectory_modeling_tpu.ops import (
-                pallas_markov,
-            )
-
-            phi = pallas_markov.markov_materialize_features_longT(
-                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
-            )
-            phi_layout = "canonical"
+    u_f, phi, phi_layout = _markov_features(
+        z,
+        x,
+        lens,
+        T=T,
+        d=d,
+        l=l,
+        u=u,
+        precompute=precompute,
+        phi_store=jnp.bfloat16 if phi_bf16 else None,
+        interpret=interpret,
+    )
+    u = u_f if u_f is not None else u
 
     counts0 = counts_from_assign(assign0, C)
     init_abort = jnp.min(counts0) <= min_members
@@ -1809,35 +1908,12 @@ def train_em_markov_multi(
     R, C = params0.pi.shape
     assign0 = assign0.astype(jnp.int32)
 
-    import os as _os
-
-    packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-    phi_layout = "compact"
-    if packed_ok:
-        if u is None:
-            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-            u = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
-        phi = (
-            pack_markov_features(u, lens, T=T, d=d, l=l, dtype=z.dtype)
-            if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-            else None
-        )
-    else:
-        # long T: the packed multi kernel's ACC build exceeds VMEM past
-        # T·s = 512 — iterations always run from the canonical-layout
-        # materialized features (one grid-over-T build for the whole
-        # sweep; the (T·s, n) packed batch is never built)
-        from multimodal_trajectory_modeling_tpu.ops import pallas_markov
-
-        z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-        x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-        interpret = jax.devices()[0].platform not in ("tpu",)
-        phi = pallas_markov.markov_materialize_features_longT(
-            z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
-        )
-        phi_layout = "canonical"
-        u = None
+    # shared Φ routing (host level — env resolved at call time); at
+    # long T the packed multi kernel has no grid fallback, so Φ is
+    # always materialized there (longT_always_phi)
+    u, phi, phi_layout = _markov_features(
+        z, x, lens, T=T, d=d, l=l, u=u, longT_always_phi=True
+    )
 
     counts0 = jax.vmap(counts_from_assign, in_axes=(0, None))(assign0, C)
     init_abort = jnp.min(counts0, axis=1) <= min_members  # (R,)
@@ -1899,6 +1975,50 @@ def train_em_markov_multi(
     return params_f, assign_f, iters, status
 
 
+def _pool_window_protocol(
+    emstep_fn, K, state0, *, n_steps, min_members, assign_mask=None
+):
+    """The slot-pool window protocol shared by every engine: K
+    iterations of ``emstep_fn(params, assigns, force) -> (new_params,
+    new_assign, counts, switches)`` with per-slot freezing (terminal or
+    capped slots idle), per-slot insertion (``force`` slots take their
+    initial prev-M step on their first active pass, uncounted) and
+    per-slot termination via :func:`_em_termination`.  Keeping the
+    correctness-critical freeze/force/cap logic in ONE place guarantees
+    the Markov, masked-filter and shard_map pools implement identical
+    scheduling (pooled ≡ sequential is tested against this protocol for
+    all of them).  ``assign_mask`` (an (n,) bool) additionally freezes
+    invalid lanes of the assignment state — the shard_map window's pad
+    lanes must stay -1 across passes."""
+
+    def body(_k, state):
+        params, assigns, status, iters, force = state
+        new_params, new_assign, counts, switches = emstep_fn(
+            params, assigns, force
+        )
+        fp = force > 0
+        active = (status == STATUS_RUNNING) & (iters < n_steps)
+        stepped = active & ~fp  # a counted argmax iteration
+        _conv, _empty, adv_r, status_new = _em_termination(
+            switches, counts, status, min_members=min_members
+        )
+        advance = stepped & adv_r
+        take_new = (active & fp) | advance  # prev-M result or EM update
+        params_out = _tree_select_rows(take_new, new_params, params)
+        upd = (
+            active[:, None]
+            if assign_mask is None
+            else active[:, None] & assign_mask[None, :]
+        )
+        assigns_out = jnp.where(upd, new_assign, assigns)
+        status_out = jnp.where(stepped, status_new, status)
+        iters_out = iters + stepped.astype(jnp.int32)
+        force_out = jnp.where(active & fp, 0, force)
+        return (params_out, assigns_out, status_out, iters_out, force_out)
+
+    return jax.lax.fori_loop(0, K, body, state0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1935,8 +2055,7 @@ def _pool_window(
     active pass, uncounted).  Module-level jit — traced/compiled once
     per static config, reused across every pool round and every fit."""
 
-    def body(_k, state):
-        params, assigns, status, iters, force = state
+    def emstep_fn(params, assigns, force):
         new_params, new_assign, counts, switches, _obj = (
             emstep_markov_multi(
                 params,
@@ -1951,23 +2070,14 @@ def _pool_window(
                 phi_layout=phi_layout,
             )
         )
-        fp = force > 0
-        active = (status == STATUS_RUNNING) & (iters < n_steps)
-        stepped = active & ~fp  # a counted argmax iteration
-        _conv, _empty, adv_r, status_new = _em_termination(
-            switches, counts, status, min_members=min_members
-        )
-        advance = stepped & adv_r
-        take_new = (active & fp) | advance  # prev-M result or EM update
-        params_out = _tree_select_rows(take_new, new_params, params)
-        assigns_out = jnp.where(active[:, None], new_assign, assigns)
-        status_out = jnp.where(stepped, status_new, status)
-        iters_out = iters + stepped.astype(jnp.int32)
-        force_out = jnp.where(active & fp, 0, force)
-        return (params_out, assigns_out, status_out, iters_out, force_out)
+        return new_params, new_assign, counts, switches
 
-    return jax.lax.fori_loop(
-        0, K, body, (params, assigns, status, iters, force)
+    return _pool_window_protocol(
+        emstep_fn,
+        K,
+        (params, assigns, status, iters, force),
+        n_steps=n_steps,
+        min_members=min_members,
     )
 
 
@@ -2167,43 +2277,17 @@ def train_em_markov_pool(
             u=u,
         )
     else:
-        import os as _os
-
         n_state = n
-        lens_w, u_w = lens, u
+        lens_w = lens
         # materialize Φ once for the whole pool (train_em_markov's
         # default precompute, same env opt-out): every slot's iteration
         # then reads Φ — no per-window feature build, half-width GEMMs.
-        # Long T (packed ACC build past its T·s ≤ 512 VMEM cap) always
-        # runs from the canonical-layout grid materialization — the
-        # packed multi kernel has no long-T mode.
-        packed_ok = T * 8 * ((d + l + 7) // 8) <= 512
-        phi_layout = "compact"
-        if packed_ok:
-            if u_w is None:
-                z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-                x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-                u_w = pack_markov_batch(z_tp, x_tp, T=T, d=d, l=l)
-            phi_w = (
-                pack_markov_features(
-                    u_w, lens, T=T, d=d, l=l, dtype=z.dtype
-                )
-                if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-                else None
-            )
-        else:
-            from multimodal_trajectory_modeling_tpu.ops import (
-                pallas_markov,
-            )
-
-            z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
-            x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
-            interpret = jax.devices()[0].platform not in ("tpu",)
-            phi_w = pallas_markov.markov_materialize_features_longT(
-                z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
-            )
-            phi_layout = "canonical"
-            u_w = None
+        # Long T always runs from the canonical-layout grid
+        # materialization (the packed multi kernel has no long-T mode) —
+        # the shared _markov_features routing.
+        u_w, phi_w, phi_layout = _markov_features(
+            z, x, lens, T=T, d=d, l=l, u=u, longT_always_phi=True
+        )
 
         def window(stack, assigns, status, iters, force):
             return _pool_window(

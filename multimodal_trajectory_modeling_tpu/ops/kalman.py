@@ -116,11 +116,22 @@ def kalman_observed_logliks(
             x_t, vm_t, K_t, Sinv_t, logdet_t = inp
             e = x_t - mu @ Hc  # (n, l) innovation
             quad = jnp.einsum("nl,lk,nk->n", e, Sinv_t, e)
-            ll = ll + vm_t * (-0.5) * (
-                l * _LOG_2PI + logdet_t + quad
+            # mask BEFORE adding: vm_t * quad would be 0*inf = NaN if an
+            # expansive closed-loop recursion overflows mu on steps past
+            # a short row's lens (the row's true prefix marginal is
+            # still finite)
+            ll = ll + jnp.where(
+                vm_t > 0,
+                (-0.5) * (l * _LOG_2PI + logdet_t + quad),
+                0.0,
             )
             mu_post = mu + e @ K_t.T
-            mu_next = mu_post @ Ac
+            # freeze the state past lens too — stops the post-lens
+            # recursion from overflowing in the first place (the
+            # masked steps contribute nothing either way)
+            mu_next = jnp.where(
+                vm_t[:, None] > 0, mu_post @ Ac, mu
+            )
             return (mu_next, ll), None
 
         mu0 = jnp.broadcast_to(mc[None, :], (n, mc.shape[0]))

@@ -127,11 +127,25 @@ def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
 
 def _pick_block_cols(d: int, l: int, C: int, itemsize: int, Tc: int) -> int:
     """Largest 128-multiple Bn keeping the VMEM working set ≲ 8 MB
-    (state scratch dominates: C·(d²+d+1) planes of (8, Bn))."""
+    (state scratch dominates: C·(d²+d+1) planes of (8, Bn)).  The
+    scratch is linear in the parameter-row count C, so past ~200 rows
+    (e.g. a large opt-in masked pool, R·C rows) even the minimum
+    128-lane block exceeds the budget — raise a sizing error instead of
+    letting Mosaic fail opaquely at compile time."""
     budget = 8 * 1024 * 1024
     planes = C * (d * d + d + 1) + 2 * Tc * (d + l) + C
     bn = (budget // (planes * 8 * itemsize)) // 128 * 128
-    return max(128, min(1024, bn))
+    if bn < 128:
+        need_mb = planes * 8 * 128 * itemsize / 2**20
+        raise ValueError(
+            f"masked-filter kernel state for {C} parameter rows "
+            f"(d={d}, l={l}, t_chunk={Tc}) needs ~{need_mb:.0f} MB of "
+            "VMEM scratch at the minimum 128-lane block — beyond the "
+            "~8 MB budget. Reduce the cluster/restart-row count (e.g. "
+            "a smaller MTM_MULTISTART_FUSE pool) or use the XLA filter "
+            "path (MTM_KALMAN_PALLAS=0)."
+        )
+    return min(1024, bn)
 
 
 def pack_masked_kalman(

@@ -647,7 +647,7 @@ def markov_em_fused_packed(
     wacc = jnp.zeros((C, Facc), Wg.dtype).at[:, rows_j].add(Wg)
     pad_u = (-n_pad) % block_n
     if pad_u:
-        # slow path: caller did not pre-pad (pack_markov_u pads to 2048,
+        # slow path: caller did not pre-pad (pack_markov_u pads to 8192,
         # a multiple of every auto-selected block) — copies the batch!
         u = jnp.concatenate([u, jnp.zeros((Ts, pad_u), u.dtype)], axis=1)
         n_pad += pad_u
@@ -1364,9 +1364,16 @@ def markov_em_from_features(
     if block_n is None:
         # Φ tiles are short (Fc_pad sublanes) — bigger lane blocks keep
         # the DMA pipeline deeper at negligible VMEM cost (measured:
-        # 8192 ≈ 2% over 2048 at n=1e6)
+        # 8192 ≈ 2% over 2048 at n=1e6); the fallback chain must end in
+        # a divisor of n_pad (callers may pack with pad_to as small as
+        # 512), so the last resort is n_pad itself
         block_n = next(
-            (b for b in (8192, 4096, 2048) if n_pad % b == 0), 1024
+            (
+                b
+                for b in (8192, 4096, 2048, 1024, 512, 256, 128)
+                if n_pad % b == 0
+            ),
+            n_pad,
         )
     assert n_pad % block_n == 0, (n_pad, block_n)
     pos_j = jnp.asarray(pos)
@@ -1518,7 +1525,11 @@ def markov_em_from_features_multi(
                 if n_pad % b == 0
                 and (2 * C * R + Fc_pad + R) * b * 4 <= budget
             ),
-            512,
+            # over-budget or odd n_pad: the largest small block that
+            # still divides n_pad (never a non-divisor constant)
+            next(
+                (b for b in (512, 256, 128) if n_pad % b == 0), n_pad
+            ),
         )
     assert n_pad % block_n == 0, (n_pad, block_n)
     pos_j = jnp.asarray(pos)

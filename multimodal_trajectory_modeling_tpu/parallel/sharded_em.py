@@ -407,7 +407,9 @@ def _packed_ok(T, d, l):
     return T * 8 * ((d + l + 7) // 8) <= 512
 
 
-def _local_markov_route(z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret):
+def _local_markov_route(
+    z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret, precompute=None
+):
     """Per-shard Markov kernel routing for the shard_map trainers:
     returns ``(u, phi, layout)``.
 
@@ -423,13 +425,18 @@ def _local_markov_route(z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret):
 
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
+    if precompute is None:
+        # host-level callers only: a jitted caller must resolve the env
+        # BEFORE tracing and pass an explicit bool (the trainers below
+        # thread it through as a static argument)
+        precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
     if not _packed_ok(T, d, l):
         phi = pallas_markov.markov_materialize_features_longT(
             z_tp, x_tp, lens_l, T=T, d=d, l=l, interpret=interpret
         )
         return None, phi, "canonical"
     u = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
-    if _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1":
+    if precompute:
         phi = pallas_markov.markov_materialize_features(
             u, lens_l, T=T, d=d, l=l, dtype=dtype, interpret=interpret
         )
@@ -437,10 +444,6 @@ def _local_markov_route(z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret):
     return u, None, "compact"
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
-)
 def train_em_markov_shardmap(
     params0,
     assign0,
@@ -453,6 +456,52 @@ def train_em_markov_shardmap(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     min_members: int = 3,
+):
+    """Data-parallel fused O(T) Markov EM — thin wrapper that resolves
+    ``MTM_MARKOV_PRECOMP`` at call time (never inside the trace) and
+    forwards to the jitted impl with it as a static argument."""
+    import os as _os
+
+    precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    return _train_em_markov_shardmap_impl(
+        params0,
+        assign0,
+        z,
+        x,
+        lens,
+        mesh=mesh,
+        n_steps=n_steps,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        min_members=min_members,
+        precompute=precompute,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+        "precompute",
+    ),
+)
+def _train_em_markov_shardmap_impl(
+    params0,
+    assign0,
+    z,
+    x,
+    lens,
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    precompute: bool = True,
 ):
     """Data-parallel fused O(T) Markov EM (suffix missingness) inside
     ``shard_map``: each shard runs ONE fused kernel pass per iteration
@@ -493,7 +542,7 @@ def train_em_markov_shardmap(
         # canonical Φ; iterations then read Φ only)
         u_l, phi_l, layout = _local_markov_route(
             z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
-            interpret=interpret,
+            interpret=interpret, precompute=precompute,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
@@ -746,10 +795,6 @@ def _train_em_masked_kalman_shardmap_impl(
     )(params0, assign0, z, x)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "n_steps", "reg_mode", "alpha", "min_members"),
-)
 def train_em_markov_multi_shardmap(
     params0,  # leading R axis on every leaf — replicated
     assign0,  # (R, n) int32 — n sharded over "data"
@@ -762,6 +807,52 @@ def train_em_markov_multi_shardmap(
     reg_mode: str = "lstsq",
     alpha: float = 0.0,
     min_members: int = 3,
+):
+    """Data-parallel fused-multistart Markov EM — thin wrapper that
+    resolves ``MTM_MARKOV_PRECOMP`` at call time (never inside the
+    trace) and forwards to the jitted impl with it static."""
+    import os as _os
+
+    precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    return _train_em_markov_multi_shardmap_impl(
+        params0,
+        assign0,
+        z,
+        x,
+        lens,
+        mesh=mesh,
+        n_steps=n_steps,
+        reg_mode=reg_mode,
+        alpha=alpha,
+        min_members=min_members,
+        precompute=precompute,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_steps",
+        "reg_mode",
+        "alpha",
+        "min_members",
+        "precompute",
+    ),
+)
+def _train_em_markov_multi_shardmap_impl(
+    params0,  # leading R axis on every leaf — replicated
+    assign0,  # (R, n) int32 — n sharded over "data"
+    z,
+    x,
+    lens,
+    *,
+    mesh: Mesh,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    precompute: bool = True,
 ):
     """Data-parallel FUSED-MULTISTART Markov EM: every device holds all R
     restart parameter rows (tiny) and its own trajectory shard; each
@@ -809,7 +900,7 @@ def train_em_markov_multi_shardmap(
         x_tp = jnp.transpose(x_l, (0, 2, 1)).reshape(T * l, n_l)
         u_l, phi_l, layout = _local_markov_route(
             z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
-            interpret=interpret,
+            interpret=interpret, precompute=precompute,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
@@ -984,9 +1075,7 @@ def _pool_window_shardmap(
     agrees bit-for-bit."""
     from multimodal_trajectory_modeling_tpu.models.em import (
         MixtureParams,
-        STATUS_RUNNING,
-        _em_termination,
-        _tree_select_rows,
+        _pool_window_protocol,
         _unpack_markov_em_stats,
     )
     from multimodal_trajectory_modeling_tpu.ops import markov as mops
@@ -1062,30 +1151,13 @@ def _pool_window_shardmap(
 
             return jax.vmap(solve_one)(g, c), a, c, w
 
-        def body(_k, state):
-            params, assigns_l, status, iters, force = state
-            new_params, new_assign, counts, switches = emstep(
-                params, assigns_l, force
-            )
-            fp = force > 0
-            active = (status == STATUS_RUNNING) & (iters < n_steps)
-            stepped = active & ~fp
-            _conv, _empty, adv_r, status_new = _em_termination(
-                switches, counts, status, min_members=min_members
-            )
-            advance = stepped & adv_r
-            take_new = (active & fp) | advance
-            params_out = _tree_select_rows(take_new, new_params, params)
-            assigns_out = jnp.where(
-                active[:, None] & validlane[None, :], new_assign, assigns_l
-            )
-            status_out = jnp.where(stepped, status_new, status)
-            iters_out = iters + stepped.astype(jnp.int32)
-            force_out = jnp.where(active & fp, 0, force)
-            return (params_out, assigns_out, status_out, iters_out, force_out)
-
-        return jax.lax.fori_loop(
-            0, K, body, (params, assigns_l, status, iters, force)
+        return _pool_window_protocol(
+            emstep,
+            K,
+            (params, assigns_l, status, iters, force),
+            n_steps=n_steps,
+            min_members=min_members,
+            assign_mask=validlane,
         )
 
     param_spec = jax.tree.map(lambda _: P(), params)
