@@ -335,3 +335,35 @@ def test_mstep_multi_matches_mstep_rows():
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-13
             )
+
+
+def test_observed_logliks_short_rows_no_postlens_overflow():
+    """A short row under an expansive closed-loop recursion must keep a
+    FINITE log-lik: post-lens steps are masked BEFORE the add and the
+    state freezes at lens, so the dead tail can't overflow into 0*inf
+    = NaN (the row's true prefix marginal is finite)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman as kops
+
+    rng = np.random.default_rng(3)
+    C, T, n, d, l = 2, 400, 16, 2, 2
+    x = rng.normal(size=(T, n, l))
+    lens = np.full(n, 3, np.int32)
+    lens[: n // 2] = T  # half long, half length-3
+    for i in range(n):
+        x[lens[i]:, i] = np.nan
+    m = rng.normal(size=(C, d))
+    S = np.stack([np.eye(d)] * C)
+    A = np.stack([10.0 * np.eye(d)] * C)  # wildly expansive dynamics
+    G = np.stack([np.eye(d)] * C)
+    H = rng.normal(size=(C, d, l))
+    L = np.stack([np.eye(l)] * C)
+    ll = kops.kalman_observed_logliks(
+        jnp.asarray(x),
+        jnp.asarray(lens),
+        *map(jnp.asarray, (m, S, A, G, H, L)),
+    )
+    ll = np.asarray(ll)
+    assert ll.shape == (C, n)
+    # 10^(400-3) overflows f64 on the dead tail — the guard keeps every
+    # row finite
+    assert np.isfinite(ll).all(), ll

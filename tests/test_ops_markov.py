@@ -632,3 +632,88 @@ def test_train_em_markov_pool_longT_matches_standalone():
                 np.asarray(lg), np.asarray(lr), rtol=1e-9, atol=1e-12,
                 err_msg=f"cand {i}",
             )
+
+
+def test_precompute_env_toggle_takes_effect_in_process(monkeypatch):
+    """Flipping MTM_MARKOV_PRECOMP between same-shape calls in ONE
+    process must actually switch the route (the env is resolved by the
+    un-jitted wrapper, never inside a cached trace) and both routes must
+    agree within the documented tolerance."""
+    from unittest import mock
+
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    C, T, n, d, l = 2, 5, 120, 2, 2
+    z, x, lens, params_t = _mixture(77, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    params0 = em.MixtureParams(
+        pi=jnp.ones(C) / C, m=m, S=S, A=A, G=G, H=H, L=L
+    )
+    rng = np.random.default_rng(7)
+    assign0 = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+
+    seen = []
+    orig = em._markov_features
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("precompute"))
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(em, "_markov_features", side_effect=spy):
+        monkeypatch.delenv("MTM_MARKOV_PRECOMP", raising=False)
+        p1, a1, i1, s1 = em.train_em_markov(
+            params0, assign0, z, x, lens, n_steps=10
+        )
+        monkeypatch.setenv("MTM_MARKOV_PRECOMP", "0")
+        p2, a2, i2, s2 = em.train_em_markov(
+            params0, assign0, z, x, lens, n_steps=10
+        )
+    # the wrapper resolved the env freshly on each call
+    assert seen == [True, False]
+    assert (int(i1), int(s1)) == (int(i2), int(s2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    for q1, q2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_from_features_block_n_fallback_divides():
+    """markov_em_from_features must pick a lane block that divides any
+    legal n_pad — a 1536-lane Φ (pad quantum 512) used to trip the
+    divisibility assert via the fixed 1024 fallback."""
+    from multimodal_trajectory_modeling_tpu.models import em
+    from multimodal_trajectory_modeling_tpu.ops import (
+        markov as mops,
+        pallas_markov as pm,
+    )
+
+    C, T, n, d, l = 2, 5, 1400, 2, 2  # canonical Φ pads to 1536 (q=512)
+    z, x, lens, params_t = _mixture(78, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    z_t = jnp.asarray(np.asarray(z).transpose(0, 2, 1).reshape(T * d, n))
+    x_t = jnp.asarray(np.asarray(x).transpose(0, 2, 1).reshape(T * l, n))
+    phi = pm.markov_materialize_features_longT(
+        z_t, x_t, lens, T=T, d=d, l=l, interpret=True
+    )
+    # the library materializers pad to 2048; a direct caller may hand
+    # the kernel any 128-multiple lane width — slice down to 1536
+    # (valid lanes + zero pad lanes), which divides none of the
+    # preferred blocks
+    phi = phi[:, :1536]
+    Wg = mops.markov_em_weights(m, S, A, G, H, L)
+    Wg = Wg.at[:, -1].add(jnp.log(jnp.ones(C) / C))
+    rng = np.random.default_rng(9)
+    prev = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+    a, c, w, g, obj = pm.markov_em_from_features(
+        phi,
+        lens,
+        prev,
+        Wg,
+        T=T,
+        d=d,
+        l=l,
+        layout="canonical",
+        interpret=True,
+    )
+    assert a.shape == (n,) and np.isfinite(float(obj))
