@@ -50,15 +50,20 @@ import pytest  # noqa: E402
 def _clear_jax_caches_between_modules():
     """Free compiled executables after each test module.
 
-    A single pytest process accumulates hundreds of XLA CPU executables
-    (x64, 8 virtual devices); past ~90 tests the next large compile
-    segfaults inside backend_compile_and_load (observed repeatedly at
-    the ~67% mark, crash site drifting with test order — state buildup,
-    not any one test; 128 GB host RAM free).  Dropping the caches
-    between modules keeps the process healthy at the cost of some
-    recompilation (cheap now that the persistent disk cache above
-    serves the re-compiles).  ``MTM_TEST_KEEP_CACHES=1`` disables the
-    clearing — used to probe whether the segfault still reproduces."""
+    Root cause of the crash this guards against (pinned 2026-08-19 with
+    a /proc maps sampler — see tools/segfault_repro.py): every live
+    XLA:CPU executable keeps its JIT code pages mmapped, and one pytest
+    process holding every executable (x64, 8 virtual devices) grows its
+    mapping count to the kernel's ``vm.max_map_count`` (default 65 530)
+    after ~130 tests; the next mmap — usually inside persistent-cache
+    executable deserialization — fails and jaxlib segfaults (measured:
+    crash at 64 971 maps; with ``sysctl -w vm.max_map_count=262144``
+    the same no-clearing run completes).  Dropping the caches between
+    modules unmaps the code regions and keeps the process ~10⁴ maps
+    from the limit, at the cost of some recompilation (cheap now that
+    the persistent disk cache above serves the re-compiles).
+    ``MTM_TEST_KEEP_CACHES=1`` disables the clearing — used with the
+    sampler to demonstrate the crash."""
     yield
     if os.environ.get("MTM_TEST_KEEP_CACHES", "0") != "1":
         jax.clear_caches()
