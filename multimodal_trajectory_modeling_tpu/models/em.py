@@ -646,7 +646,14 @@ def _markov_features(
     z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
     x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
     phi = pallas_markov.markov_materialize_features_longT(
-        z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+        z_tp,
+        x_tp,
+        lens,
+        T=T,
+        d=d,
+        l=l,
+        store_dtype=phi_store,
+        interpret=interpret,
     )
     return None, phi, "canonical"
 

@@ -1578,13 +1578,17 @@ def markov_em_from_features_multi(
     return a_out[:, :n], counts, w_out[0], g, o_out[0]
 
 
-def _markov_feat_grid_kernel(T: int, d: int, l: int):
+def _markov_feat_grid_kernel(T: int, d: int, l: int, narrow: bool = False):
     """Grid-over-T feature-materialization kernel: per (n-block, t) step
     accumulate the canonical g-layout feature rows of
     :func:`..markov.markov_em_features` into the Φ output block.  The
     kron pieces are sub-8-sublane concats (the legacy kernel's VPU
     bottleneck) — acceptable here because materialization runs ONCE per
-    fit; every EM iteration then reads Φ at T-independent cost."""
+    fit; every EM iteration then reads Φ at T-independent cost.
+
+    ``narrow`` accumulates in a full-precision VMEM scratch and casts to
+    the (narrower) output dtype once, at the block's final time step —
+    the narrow-store Φ is then bit-identical to casting the wide Φ."""
     dd = d * d
     F = 4 * dd + l * l + d * l + 2 * d + l + d + 2
     o_g1, o_g2, o_g3 = 0, dd, 2 * dd
@@ -1604,7 +1608,9 @@ def _markov_feat_grid_kernel(T: int, d: int, l: int):
         x_ref,  # (1, l, Bn)
         lens_ref,  # (1, Bn) int32
         phi_out,  # (F_pad, Bn), accumulated over the T axis
+        *scratch,  # narrow: (F_pad, Bn) compute-dtype accumulator
     ):
+        acc = scratch[0] if narrow else phi_out
         t = pl.program_id(1)
         Bn = z_ref.shape[2]
         dtype = z_ref.dtype
@@ -1624,23 +1630,29 @@ def _markov_feat_grid_kernel(T: int, d: int, l: int):
 
         @pl.when(t == 0)
         def _():
-            phi_out[:, :] = jnp.zeros_like(phi_out)
+            acc[:, :] = jnp.zeros_like(acc)
 
-        phi_out[o_g1 : o_g1 + dd, :] += zz
-        phi_out[o_g2 : o_g2 + dd, :] += vm_n * zz
-        phi_out[o_g3 : o_g3 + dd, :] += kron(z_c, z_n * vm_n)
-        phi_out[o_g4 : o_g4 + l * l, :] += kron(x_c, x_c)
-        phi_out[o_g5 : o_g5 + d * l, :] += kron(z_c, x_c)
-        phi_out[o_g7 : o_g7 + d, :] += vm_n * z_c
-        phi_out[o_g8 : o_g8 + d, :] += z_c
-        phi_out[o_g9 : o_g9 + l, :] += x_c
+        acc[o_g1 : o_g1 + dd, :] += zz
+        acc[o_g2 : o_g2 + dd, :] += vm_n * zz
+        acc[o_g3 : o_g3 + dd, :] += kron(z_c, z_n * vm_n)
+        acc[o_g4 : o_g4 + l * l, :] += kron(x_c, x_c)
+        acc[o_g5 : o_g5 + d * l, :] += kron(z_c, x_c)
+        acc[o_g7 : o_g7 + d, :] += vm_n * z_c
+        acc[o_g8 : o_g8 + d, :] += z_c
+        acc[o_g9 : o_g9 + l, :] += x_c
 
         @pl.when(t == 0)
         def _():
-            phi_out[o_g6 : o_g6 + dd, :] += zz
-            phi_out[o_g10 : o_g10 + d, :] += z_c
-            phi_out[o_len : o_len + 1, :] += lens.astype(dtype)[None, :]
-            phi_out[o_one : o_one + 1, :] += jnp.ones((1, Bn), dtype)
+            acc[o_g6 : o_g6 + dd, :] += zz
+            acc[o_g10 : o_g10 + d, :] += z_c
+            acc[o_len : o_len + 1, :] += lens.astype(dtype)[None, :]
+            acc[o_one : o_one + 1, :] += jnp.ones((1, Bn), dtype)
+
+        if narrow:
+
+            @pl.when(t == T - 1)
+            def _():
+                phi_out[:, :] = acc[:, :].astype(phi_out.dtype)
 
     return kernel
 
@@ -1654,6 +1666,7 @@ def markov_materialize_features_longT(
     d: int,
     l: int,
     block_n: int = 2048,
+    store_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Materialize canonical-layout features Φ (F_pad, n_pad) for
@@ -1662,14 +1675,19 @@ def markov_materialize_features_longT(
     T·s ≤ 512 of VMEM).  One O(T) grid pass per fit; with
     ``layout="canonical"`` :func:`markov_em_from_features` then runs EM
     iterations whose cost does not grow with T at all (Φ's row count is
-    the T-independent canonical feature count).  Φ accumulates across
-    grid steps, so it is stored in the compute dtype (no narrow-store
-    option here)."""
+    the T-independent canonical feature count).
+
+    ``store_dtype`` narrower than the compute dtype (the bf16 Φ opt-in,
+    same trade-off as :func:`markov_materialize_features`) accumulates
+    across grid steps in a full-precision VMEM scratch and casts once at
+    each block's final step — bit-identical to casting the wide Φ."""
     F_pad, _pos = _feature_layout(T, d, l, "canonical")
     Td, n = z_t.shape
     assert Td == T * d and x_t.shape == (T * l, n)
     dtype = z_t.dtype
-    store_dtype = dtype
+    if store_dtype is None:
+        store_dtype = dtype
+    narrow = store_dtype != dtype
     pad = (-n) % block_n
     if pad:
         z_t = jnp.concatenate(
@@ -1683,8 +1701,14 @@ def markov_materialize_features_longT(
     nb = n_pad // block_n
     z3 = z_t.reshape(T, d, n_pad)
     x3 = x_t.reshape(T, l, n_pad)
+    if narrow:
+        from jax.experimental.pallas import tpu as pltpu
+
+        scratch = [pltpu.VMEM((F_pad, block_n), dtype)]
+    else:
+        scratch = []
     return pl.pallas_call(
-        _markov_feat_grid_kernel(T, d, l),
+        _markov_feat_grid_kernel(T, d, l, narrow=narrow),
         grid=(nb, T),
         in_specs=[
             pl.BlockSpec((1, d, block_n), lambda j, t: (t, 0, j)),
@@ -1697,5 +1721,6 @@ def markov_materialize_features_longT(
         ],
         out_specs=pl.BlockSpec((F_pad, block_n), lambda j, t: (0, j)),
         out_shape=jax.ShapeDtypeStruct((F_pad, n_pad), store_dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(z3, z3, x3, lens.astype(jnp.int32).reshape(1, n_pad))

@@ -517,6 +517,34 @@ def test_markov_materialize_features_longT_matches_xla_features():
     np.testing.assert_allclose(float(o1), float(o0), rtol=1e-12)
 
 
+def test_markov_materialize_features_longT_narrow_store():
+    """The long-T materializer's narrow-store path (full-precision VMEM
+    accumulation, one cast at each block's final grid step) must be
+    bit-identical to casting the wide Φ — the bf16 Φ opt-in then behaves
+    the same on the grid-over-T route as on the packed route."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov as pm
+
+    C, T, n, d, l = 2, 24, 260, 2, 3
+    z, x, lens, _params_t = _mixture(71, C=C, T=T, n=n, d=d, l=l)
+    z32 = jnp.asarray(np.asarray(z), jnp.float32)
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    z_t = jnp.transpose(z32, (0, 2, 1)).reshape(T * d, n)
+    x_t = jnp.transpose(x32, (0, 2, 1)).reshape(T * l, n)
+
+    wide = pm.markov_materialize_features_longT(
+        z_t, x_t, lens, T=T, d=d, l=l, block_n=128, interpret=True
+    )
+    narrow = pm.markov_materialize_features_longT(
+        z_t, x_t, lens, T=T, d=d, l=l, block_n=128,
+        store_dtype=jnp.bfloat16, interpret=True,
+    )
+    assert narrow.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(narrow, np.float32),
+        np.asarray(wide.astype(jnp.bfloat16), np.float32),
+    )
+
+
 def test_train_em_markov_longT_precompute_matches():
     """At T past the packed kernel's VMEM gate, train_em_markov's
     precompute route (grid materialization + canonical from-features
