@@ -72,6 +72,7 @@ __all__ = [
     "train_em_masked_kalman",
     "train_em_masked_kalman_pool",
     "train_em_markov",
+    "train_em_markov_outofcore",
     "train_em_markov_multi",
     "train_em_markov_pool",
     "train_em_multistart",
@@ -1783,6 +1784,209 @@ def _train_em_markov_impl(
         cond, body, (params_start, assign0, jnp.int32(0), status0)
     )
     return params_f, assign_f, iters, status
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "d", "l", "store", "interpret")
+)
+def _ooc_featurize(z_c, x_c, lens_c, *, T, d, l, store, interpret):
+    """Φ for ONE instance chunk — the packed batch and transposed
+    intermediates are freed by XLA liveness inside this single program,
+    so device residency peaks at the chunk's Φ plus its raw batch."""
+    _, phi, _ = _markov_features(
+        z_c,
+        x_c,
+        lens_c,
+        T=T,
+        d=d,
+        l=l,
+        precompute=True,
+        phi_store=store,
+        interpret=interpret,
+        longT_always_phi=True,
+    )
+    return phi
+
+
+@jax.jit
+def _ooc_weights(params: MixtureParams) -> jax.Array:
+    from multimodal_trajectory_modeling_tpu.ops import markov as mkops
+
+    Wg = mkops.markov_em_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    return Wg.at[:, -1].add(jnp.log(params.pi))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "d", "l", "assign_mode", "layout", "interpret"),
+)
+def _ooc_chunk_step(
+    phi, lens_c, prev_c, Wg, *, T, d, l, assign_mode, layout, interpret
+):
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    return pallas_markov.markov_em_from_features(
+        phi,
+        lens_c,
+        prev_c,
+        Wg,
+        T=T,
+        d=d,
+        l=l,
+        assign_mode=assign_mode,
+        layout=layout,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "l", "reg_mode", "alpha")
+)
+def _ooc_msolve(g, counts, n_total, *, d, l, reg_mode, alpha):
+    tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
+    pi = counts.astype(g.dtype) / n_total.astype(g.dtype)
+    m0, S0 = rops.mean_cov_from_stats(istats)
+    A, G = rops.solve_regression(tstats, mode=reg_mode, alpha=alpha)
+    H, L = rops.solve_regression(mstats, mode=reg_mode, alpha=alpha)
+    return MixtureParams(pi, m0, S0, A, G, H, L)
+
+
+def train_em_markov_outofcore(
+    params0: MixtureParams,
+    assign0,
+    z,  # (T, n, d) HOST array, NaN-suffix-padded (numpy stays on host)
+    x,  # (T, n, l) HOST array
+    lens,  # (n,) int observed prefix lengths
+    *,
+    n_steps: int = 100,
+    reg_mode: str = "lstsq",
+    alpha: float = 0.0,
+    min_members: int = 3,
+    chunk_cols: int = 1 << 20,
+    phi_store=None,  # e.g. jnp.bfloat16 — halves the streamed bytes
+):
+    """:func:`train_em_markov` for batches whose feature matrix exceeds
+    device HBM: Φ lives in HOST memory as per-chunk blocks and every EM
+    iteration streams the chunks through the from-features kernel,
+    accumulating the per-cluster sufficient statistics, membership
+    counts, and switch totals across chunks before one M solve.
+
+    Capacity model: device residency is ONE chunk's Φ (plus its raw
+    batch during the one-time featurization), so n is bounded by host
+    RAM, not HBM — the single-chip complement to the multi-device
+    :func:`..parallel.sharded_em.train_em_markov_shardmap` (which
+    shards the in-HBM batch over a mesh).  Throughput is bound by the
+    host↔device link (each iteration re-ships every Φ chunk), not by
+    HBM bandwidth — this path trades speed for capacity and the
+    in-core trainer should be preferred whenever Φ fits.
+
+    The statistics contract is identical to the in-core trainer (same
+    kernels, same :func:`_em_termination` semantics; reference protocol
+    marginalizable_mixture_model.py:1310-1366); only the cross-chunk
+    summation ORDER differs, so trained parameters match in-core
+    training to reassociation noise (f64 ≈ 1e-12 — tested) while
+    assignments, iteration counts and status codes match exactly.
+
+    Returns ``(params, assign (np.int32 (n,)), iters, status)``.
+    """
+    import numpy as np
+
+    z = np.asarray(z)
+    x = np.asarray(x)
+    T, n, d = z.shape
+    l = x.shape[-1]
+    C = int(np.asarray(params0.pi).shape[0])
+    dtype = jnp.asarray(z[:1, :1]).dtype
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    layout = "compact" if markov_packed_ok(T, d, l) else "canonical"
+    lens_np = np.asarray(lens, np.int32)
+    assign0_np = np.asarray(assign0, np.int32)
+    bounds = [
+        (s, min(s + int(chunk_cols), n))
+        for s in range(0, n, int(chunk_cols))
+    ]
+
+    # one-time featurization pass: Φ chunks pulled to host, device
+    # buffers dropped as soon as each chunk lands
+    phi_chunks = []
+    for s, e in bounds:
+        phi_dev = _ooc_featurize(
+            jnp.asarray(z[:, s:e], dtype),
+            jnp.asarray(x[:, s:e], dtype),
+            jnp.asarray(lens_np[s:e]),
+            T=T,
+            d=d,
+            l=l,
+            store=phi_store,
+            interpret=interpret,
+        )
+        phi_chunks.append(np.asarray(phi_dev))
+        del phi_dev
+
+    n_total = jnp.asarray(n, dtype)
+
+    def _pass(params, prev_chunks, mode):
+        Wg = _ooc_weights(params)
+        g_tot = None
+        counts_tot = None
+        switches_tot = 0
+        new_chunks = []
+        for (s, e), phi_c, prev_c in zip(bounds, phi_chunks, prev_chunks):
+            a, c, sw, g, _obj = _ooc_chunk_step(
+                phi_c,
+                jnp.asarray(lens_np[s:e]),
+                jnp.asarray(prev_c),
+                Wg,
+                T=T,
+                d=d,
+                l=l,
+                assign_mode=mode,
+                layout=layout,
+                interpret=interpret,
+            )
+            new_chunks.append(np.asarray(a, np.int32))
+            g_tot = g if g_tot is None else g_tot + g
+            counts_tot = c if counts_tot is None else counts_tot + c
+            switches_tot += int(sw)
+        return new_chunks, counts_tot, switches_tot, g_tot
+
+    counts0 = np.bincount(assign0_np, minlength=C)
+    if counts0.min() <= min_members:
+        return params0, assign0_np, 0, STATUS_INIT_ABORT
+
+    # initial M step under the provided assignment (reference :1319-1326)
+    prev_chunks = [assign0_np[s:e] for s, e in bounds]
+    _, counts_m, _, g_m = _pass(params0, prev_chunks, "prev")
+    params = _ooc_msolve(
+        g_m, counts_m, n_total, d=d, l=l, reg_mode=reg_mode, alpha=alpha
+    )
+
+    status = STATUS_RUNNING
+    iters = 0
+    for _ in range(n_steps):
+        new_chunks, counts, switches, g = _pass(
+            params, prev_chunks, "argmax"
+        )
+        iters += 1
+        prev_chunks = new_chunks
+        # host mirror of _em_termination (convergence wins the tie)
+        converged = switches == 0
+        empty = (not converged) and (
+            int(np.asarray(counts).min()) <= min_members
+        )
+        if converged:
+            status = STATUS_CONVERGED
+            break
+        if empty:
+            status = STATUS_EMPTY_CLUSTER
+            break
+        params = _ooc_msolve(
+            g, counts, n_total, d=d, l=l, reg_mode=reg_mode, alpha=alpha
+        )
+
+    return params, np.concatenate(prev_chunks), iters, status
 
 
 def _tree_select_rows(pred_r, on_true, on_false):

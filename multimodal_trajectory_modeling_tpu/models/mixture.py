@@ -744,8 +744,14 @@ class MMLinGaussSS_marginalizable:
         and ignores ``fast``."""
         if verbose:
             return self._train_verbose(n_steps=n_steps)
-        _T0, z, x, v, patterns, pid = self._packed(None, None)
         reg_mode = "ridge" if self.alpha > 2 * np_eps else "lstsq"
+        if fast and os.environ.get("MTM_MARKOV_OOC") == "1":
+            ooc = self._train_markov_outofcore(
+                n_steps=n_steps, reg_mode=reg_mode
+            )
+            if ooc is not None:
+                return ooc
+        _T0, z, x, v, patterns, pid = self._packed(None, None)
         if fast:
             pid_np = np.asarray(pid)
             plens = self._suffix_pattern_lens(
@@ -822,6 +828,52 @@ class MMLinGaussSS_marginalizable:
         if status == em.STATUS_INIT_ABORT:
             # reference returns before stamping last_trained (mixture:1328-1336)
             return self
+        self._set_params(params)
+        self.cluster_assignment = np.asarray(assign)
+        self.last_trained = (
+            datetime.datetime.now(datetime.timezone.utc)
+            .replace(microsecond=0)
+            .astimezone()
+            .isoformat()
+        )
+        return self
+
+    def _train_markov_outofcore(self, *, n_steps: int, reg_mode: str):
+        """``MTM_MARKOV_OOC=1`` route for :meth:`train`'s fast path:
+        suffix-missingness EM with the feature matrix streamed from HOST
+        memory (:func:`em.train_em_markov_outofcore`) so device residency
+        never exceeds one chunk — for batches whose Φ (or packed batch)
+        would not fit HBM.  The batch is packed and pattern-gated on the
+        host only (no device copies are cached); returns ``None`` when
+        the missingness is not pure-suffix so :meth:`train` falls through
+        to its in-core routes.  ``MTM_MARKOV_OOC_CHUNK`` sets the chunk
+        width (instances per streamed block, default 2²⁰)."""
+        dt = _compute_dtype()
+        z_np = np.atleast_3d(self.states).astype(float)
+        x_np = np.atleast_3d(self.observations).astype(float)
+        v_np = native.pack_joint(z_np, x_np)
+        patterns, pid = native.pattern_groups(v_np)
+        del v_np
+        T = z_np.shape[0]
+        plens = self._suffix_pattern_lens(
+            patterns, T, z_np.shape[-1], x_np.shape[-1]
+        )
+        if plens is None:
+            return None
+        chunk = int(os.environ.get("MTM_MARKOV_OOC_CHUNK", str(1 << 20)))
+        params, assign, iters, status = em.train_em_markov_outofcore(
+            self._stacked_params(),
+            np.asarray(self.cluster_assignment, np.int32),
+            z_np.astype(np.dtype(dt), copy=False),
+            x_np.astype(np.dtype(dt), copy=False),
+            plens[np.asarray(pid)],
+            n_steps=n_steps,
+            reg_mode=reg_mode,
+            alpha=float(self.alpha),
+            chunk_cols=chunk,
+        )
+        if int(status) == em.STATUS_INIT_ABORT:
+            return self  # reference returns before stamping (mixture:1328-1336)
         self._set_params(params)
         self.cluster_assignment = np.asarray(assign)
         self.last_trained = (
