@@ -40,8 +40,8 @@ test-quick:
 # accumulates enough CPU executables to segfault late compiles; the
 # conftest cache-clearing fixture also guards this)
 test-fast:
-	@$(run-python) -m pytest tests/test_ops_gaussian.py tests/test_ops_moments.py tests/test_ops_regression.py tests/test_ops_markov.py tests/test_ops_kalman.py tests/test_markov_multi.py tests/test_pallas_estep.py tests/test_pallas_mstep.py tests/test_parallel.py tests/test_native.py tests/test_posthoc_stats.py tests/test_statespace_api.py tests/test_extended_framework.py tests/test_api_parity.py -q & \
-	$(run-python) -m pytest tests/test_em_engine.py tests/test_mixture_api.py tests/test_adapters.py tests/test_checkpoint_trace.py tests/test_drivers_smoke.py tests/test_lme.py tests/test_survival.py -q; \
+	@$(run-python) -m pytest tests/test_ops_gaussian.py tests/test_ops_moments.py tests/test_ops_regression.py tests/test_ops_markov.py tests/test_ops_kalman.py tests/test_markov_multi.py tests/test_pallas_estep.py tests/test_pallas_mstep.py tests/test_parallel.py tests/test_native.py tests/test_posthoc_stats.py tests/test_statespace_api.py tests/test_extended_framework.py tests/test_api_parity.py tests/test_markov_ooc.py -q & \
+	$(run-python) -m pytest tests/test_em_engine.py tests/test_mixture_api.py tests/test_adapters.py tests/test_checkpoint_trace.py tests/test_drivers_smoke.py tests/test_lme.py tests/test_survival.py tests/test_property_random.py -q; \
 	wait
 
 bench:

@@ -91,6 +91,7 @@ def _random_batch(rng, T, n, d, l, regime):
 REGIMES = ("full", "suffix", "interior", "unstructured")
 
 
+@pytest.mark.slow  # ~50 s for the 12-seed sweep; full-suite lane only
 @pytest.mark.parametrize("seed", range(12))
 def test_density_routes_agree_on_random_shapes(seed):
     rng = np.random.default_rng(1000 + seed)
