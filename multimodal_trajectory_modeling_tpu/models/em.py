@@ -65,6 +65,7 @@ __all__ = [
     "complete_data_loglik_masked_kalman",
     "model_loglik",
     "model_loglik_markov",
+    "suffix_logliks_markov",
     "observed_logliks_kalman",
     "masked_logliks_kalman",
     "train_em",
@@ -1082,6 +1083,85 @@ def complete_data_loglik_markov(
 
 
 @jax.jit
+@jax.jit
+def _suffix_logliks_markov_xla(
+    params: MixtureParams, z, x, lens
+) -> jax.Array:
+    from multimodal_trajectory_modeling_tpu.ops import markov as mops
+
+    W = mops.markov_cluster_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    return mops.markov_suffix_logliks(z, x, lens, W)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _suffix_logliks_markov_phi(
+    params: MixtureParams, z, x, lens, *, interpret: bool
+) -> jax.Array:
+    from multimodal_trajectory_modeling_tpu.ops import (
+        markov as mops,
+        pallas_markov,
+    )
+
+    T, n, d = z.shape
+    l = x.shape[-1]
+    z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
+    x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
+    phi = pallas_markov.markov_materialize_features_longT(
+        z_tp, x_tp, lens, T=T, d=d, l=l, interpret=interpret
+    )
+    Wg = mops.markov_em_weights(
+        params.m, params.S, params.A, params.G, params.H, params.L
+    )
+    F_pad = phi.shape[0]
+    wc = jnp.zeros((Wg.shape[0], F_pad), Wg.dtype)
+    wc = wc.at[:, : Wg.shape[1]].set(Wg)  # canonical rows are 0..F-1
+    # full-precision GEMM: the TPU default is bf16 multiplies, which at
+    # |ll| ~ 10³ costs whole nats; the (C, F)·(F, n) product is tiny
+    # next to the materialization read, so HIGHEST is free
+    ll = jax.lax.dot_general(
+        wc,
+        phi,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return ll[:, :n]
+
+
+def suffix_logliks_markov(
+    params: MixtureParams,
+    z: jax.Array,  # (T, n, d) NaN-suffix-padded
+    x: jax.Array,  # (T, n, l)
+    lens: jax.Array,  # (n,) int32 observed prefix lengths (1..T)
+    *,
+    via_phi: bool = None,
+) -> jax.Array:
+    """``(C, n)`` joint log-likelihoods under PURE-SUFFIX missingness in
+    O(T) via the Markov factorization — the long-T inference route when
+    the per-row patterns are variable lengths (reference inference
+    methods take the dense joint; its (T(d+l))² covariance is infeasible
+    past T(d+l) ≈ 512).  Equals the dense masked marginal exactly
+    (ops/markov.py contract, f64-tested); ~6-100× the masked-filter
+    evaluation at T=512 since the factorized densities are GEMM-shaped
+    instead of a sequential per-step recursion.
+
+    ``via_phi`` (default: on TPU) evaluates through the grid-over-T
+    canonical feature materialization plus one weight GEMM — the
+    T-INDEPENDENT Mosaic compile; the XLA slice-pair formulation
+    (default off-TPU, where it compiles in seconds) was measured at
+    ~10 min of remote compile at T=300.  Both routes are f64-identical
+    (tested)."""
+    if via_phi is None:
+        via_phi = jax.devices()[0].platform == "tpu"
+    if via_phi:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+        return _suffix_logliks_markov_phi(
+            params, z, x, lens, interpret=interpret
+        )
+    return _suffix_logliks_markov_xla(params, z, x, lens)
+
+
 def model_loglik_markov(
     params: MixtureParams,
     z: jax.Array,  # (T, n, d) NaN-suffix-padded

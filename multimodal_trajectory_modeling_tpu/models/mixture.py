@@ -429,7 +429,23 @@ class MMLinGaussSS_marginalizable:
         degrading past dimension ≈ 512."""
         _T0, _z, _x, v, patterns, pid = self._packed(states, observations, T0)
         if _T0 * (self.d_states + self.d_observations) > 512:
-            ll = em.masked_logliks_kalman(self._stacked_params(), _z, _x)
+            # long T: pure-suffix patterns (variable lengths) take the
+            # O(T) Markov factorization (GEMM-shaped; ~6-100× the
+            # filter at T=512); anything else the exact O(T) filter
+            plens = self._suffix_pattern_lens(
+                patterns, _T0, self.d_states, self.d_observations
+            )
+            if plens is not None:
+                ll = em.suffix_logliks_markov(
+                    self._stacked_params(),
+                    _z,
+                    _x,
+                    jnp.asarray(plens[np.asarray(pid)]),
+                )
+            else:
+                ll = em.masked_logliks_kalman(
+                    self._stacked_params(), _z, _x
+                )
         else:
             ll = em.estep_logliks(
                 self._stacked_params(), v, patterns, pid, T=_T0

@@ -101,7 +101,11 @@ def kalman_observed_logliks(
     can take minutes to compile while the scan compiles in seconds — so
     off-TPU the default is always the scan."""
     T, n, l = x.shape
-    dtype = x.dtype
+    dtype = jnp.result_type(x.dtype, m.dtype)  # see kalman_masked_logliks
+    x = x.astype(dtype)
+    m, S, A, G, H, L = (
+        arr.astype(dtype) for arr in (m, S, A, G, H, L)
+    )
     if unroll is None:
         unroll = T <= 128 and jax.devices()[0].platform == "tpu"
     xm = jnp.where(jnp.isfinite(x), x, 0.0)
@@ -213,8 +217,25 @@ def masked_filter_step(
     corresponding innovation rows/cols and planting unit dummy variances;
     only observed coordinates contribute to the 2π term.  Returns
     ``(mu_next, P_next, ll_delta)``.
+
+    Masked entries are zeroed with ``where``-selects rather than
+    mask-multiplies: bit-identical when the state is finite (the masks
+    are exact 0/1), but ``0 · inf`` is NaN — an expansive transition can
+    overflow the (mu, P) recursion across a long fully-unobserved tail
+    in f32, and the selects keep the overflow from poisoning the
+    (finite) likelihood of the observed prefix.  An overflow inside an
+    interior gap that is *followed* by observations is a genuine
+    representational limit either way (the density is astronomically
+    peaked there).
     """
     D = d + l
+
+    def msk(o, v):
+        return jnp.where(o > 0, v, jnp.zeros_like(v))
+
+    def msk2(oa, ob, v):
+        return jnp.where((oa > 0) & (ob > 0), v, jnp.zeros_like(v))
+
     ozr, oxr = list(oz_t), list(ox_t)
     # PH (d×l), HPH (l×l) from the current P
     PH = [
@@ -229,24 +250,24 @@ def masked_filter_step(
     Sig = [[None] * D for _ in range(D)]
     for a_ in range(d):
         for b_ in range(d):
-            Sig[a_][b_] = ozr[a_] * ozr[b_] * P[a_][b_]
+            Sig[a_][b_] = msk2(ozr[a_], ozr[b_], P[a_][b_])
         Sig[a_][a_] = Sig[a_][a_] + (1.0 - ozr[a_])
     for a_ in range(d):
         for b_ in range(l):
-            v = ozr[a_] * oxr[b_] * PH[a_][b_]
+            v = msk2(ozr[a_], oxr[b_], PH[a_][b_])
             Sig[a_][d + b_] = v
             Sig[d + b_][a_] = v
     for a_ in range(l):
         for b_ in range(l):
-            Sig[d + a_][d + b_] = oxr[a_] * oxr[b_] * (
-                HPH[a_][b_] + Ls[a_][b_]
+            Sig[d + a_][d + b_] = msk2(
+                oxr[a_], oxr[b_], HPH[a_][b_] + Ls[a_][b_]
             )
         Sig[d + a_][d + a_] = Sig[d + a_][d + a_] + (1.0 - oxr[a_])
 
     # innovation (masked coords -> 0 exactly)
     mux = [sum(mu[i] * Hs[i][b] for i in range(d)) for b in range(l)]
-    e = [ozr[a_] * (z_t[a_] - mu[a_]) for a_ in range(d)] + [
-        oxr[b_] * (x_t[b_] - mux[b_]) for b_ in range(l)
+    e = [msk(ozr[a_], z_t[a_] - mu[a_]) for a_ in range(d)] + [
+        msk(oxr[b_], x_t[b_] - mux[b_]) for b_ in range(l)
     ]
 
     Lch = _list_chol(Sig, D)
@@ -258,8 +279,8 @@ def masked_filter_step(
 
     # gain K = P M Σ⁻¹ (d×D); PM = [P·diag(oz), PH·diag(ox)]
     PM = [
-        [P[i][a_] * ozr[a_] for a_ in range(d)]
-        + [PH[i][b_] * oxr[b_] for b_ in range(l)]
+        [msk(ozr[a_], P[i][a_]) for a_ in range(d)]
+        + [msk(oxr[b_], PH[i][b_]) for b_ in range(l)]
         for i in range(d)
     ]
     K = []
@@ -348,7 +369,15 @@ def kalman_masked_logliks(
     T, n, d = z.shape
     l = x.shape[-1]
     D = d + l
-    dtype = z.dtype
+    # one compute dtype for data AND parameters: a mixed call (f32 data,
+    # f64 params under x64) would otherwise promote the scan carry
+    # mid-step and fail the carry-type check
+    dtype = jnp.result_type(z.dtype, m.dtype)
+    z = z.astype(dtype)
+    x = x.astype(dtype)
+    m, S, A, G, H, L = (
+        arr.astype(dtype) for arr in (m, S, A, G, H, L)
+    )
     if unroll is None:
         unroll = T <= 16 and jax.devices()[0].platform == "tpu"
 

@@ -468,6 +468,56 @@ def test_long_T_interior_missingness_routes_masked_filter():
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
 
 
+def test_long_T_suffix_inference_routes_markov(monkeypatch):
+    """At T(d+l) > 512 with pure-suffix missingness, inference
+    (`_all_cluster_logliks`) routes the O(T) Markov factorization and
+    must equal the masked-filter evaluation (both are exact O(T) routes;
+    the spy pins which one was taken)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    calls = []
+    real = em.suffix_logliks_markov
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(em, "suffix_logliks_markov", spy)
+
+    rng = np.random.default_rng(23)
+    T, n, d, l = 300, 50, 1, 1  # T(d+l) = 600 > 512
+    z = rng.normal(size=(T, n, d))
+    x = rng.normal(size=(T, n, l))
+    lens = rng.integers(1, T + 1, size=n)
+    tmask = np.arange(T)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    mdl = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z, observations=x, random_seed=7, init="random"
+    )
+    ll = mdl._all_cluster_logliks(T, None, None)
+    assert calls, "long-T suffix inference did not route the Markov path"
+    oracle = np.asarray(
+        em.masked_logliks_kalman(
+            mdl._stacked_params(),
+            jnp.asarray(z),
+            jnp.asarray(x),
+            pallas_mode="off",
+        )
+    )
+    np.testing.assert_allclose(ll, oracle, rtol=1e-8, atol=1e-8)
+
+    # interior missingness at the same T still takes the filter
+    calls.clear()
+    z2 = z.copy()
+    z2[5, :10, 0] = np.nan
+    mdl2 = MMLinGaussSS_marginalizable(
+        n_clusters=2, states=z2, observations=x, random_seed=7, init="random"
+    )
+    mdl2._all_cluster_logliks(T, None, None)
+    assert not calls
+
+
 def test_train_fast_long_T_interior_missingness_routes_filter(monkeypatch):
     """At T(d+l) > 512 with interior missingness, train(fast=True) routes
     the exact O(T) masked-filter trainer (the dense joint would be

@@ -467,6 +467,24 @@ def test_train_em_markov_precompute_matches():
         )
 
 
+def test_suffix_logliks_markov_phi_route_matches_xla():
+    """The TPU inference route (grid-materialized canonical Φ + weight
+    GEMM) must equal the XLA slice-pair formulation exactly in f64 —
+    and both equal the dense masked marginal (the slice-pair side is
+    pinned against dense elsewhere)."""
+    C, T, n, d, l = 3, 24, 150, 2, 2
+    z, x, lens, params_t = _mixture(7, C=C, T=T, n=n, d=d, l=l)
+    m, S, A, G, H, L = params_t
+    params = em.MixtureParams(
+        pi=jnp.ones(C) / C, m=m, S=S, A=A, G=G, H=H, L=L
+    )
+    a = em.suffix_logliks_markov(params, z, x, lens, via_phi=False)
+    b = em.suffix_logliks_markov(params, z, x, lens, via_phi=True)
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_markov_materialize_features_longT_matches_xla_features():
     """The grid-over-T feature-materialization kernel must equal the XLA
     scan feature builder (ops/markov.py:markov_em_features) exactly in

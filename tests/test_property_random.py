@@ -131,6 +131,50 @@ def test_density_routes_agree_on_random_shapes(seed):
         np.testing.assert_allclose(mk, dense, rtol=1e-8, atol=1e-8)
 
 
+def test_masked_filter_f32_survives_unstable_tail():
+    """f32 regression: an expansive transition overflows the (mu, P)
+    recursion across a long fully-unobserved suffix; the filter's
+    where-select masking must keep the observed prefix's (finite)
+    likelihood from being poisoned (0·inf = NaN with mask-multiplies —
+    797/2000 NaNs observed at T=300 before the fix).  Mixed f32 data +
+    f64 params must also run (dtype-unified scan carry)."""
+    from multimodal_trajectory_modeling_tpu.ops import kalman
+
+    rng = np.random.default_rng(3)
+    C, T, n, d, l = 4, 300, 64, 2, 2
+    z = rng.normal(size=(T, n, d)).astype(np.float32)
+    x = rng.normal(size=(T, n, l)).astype(np.float32)
+    lens = rng.integers(1, 40, size=n)  # long unobserved tails
+    tmask = np.arange(T)[:, None] < lens[None, :]
+    z[~tmask] = np.nan
+    x[~tmask] = np.nan
+    params = _random_model(rng, C, d, l)  # A ~ N(0, 0.4²)·(d×d): often ρ>1
+    f32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    ll32 = np.asarray(
+        kalman.kalman_masked_logliks(
+            jnp.asarray(z), jnp.asarray(x),
+            f32.m, f32.S, f32.A, f32.G, f32.H, f32.L,
+        )
+    )
+    assert np.all(np.isfinite(ll32))
+    # f64 oracle on the same data
+    ll64 = np.asarray(
+        kalman.kalman_masked_logliks(
+            jnp.asarray(z, jnp.float64), jnp.asarray(x, jnp.float64),
+            params.m, params.S, params.A, params.G, params.H, params.L,
+        )
+    )
+    np.testing.assert_allclose(ll32, ll64, rtol=2e-3, atol=2e-3)
+    # mixed dtypes: f32 data with f64 params promotes cleanly
+    mixed = np.asarray(
+        kalman.kalman_masked_logliks(
+            jnp.asarray(z), jnp.asarray(x),
+            params.m, params.S, params.A, params.G, params.H, params.L,
+        )
+    )
+    np.testing.assert_allclose(mixed, ll64, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", (0, 1))
 def test_fast_training_routes_agree_on_random_shapes(seed):
     """train(fast=True) must pick a route that reproduces the default
