@@ -452,8 +452,50 @@ class MMLinGaussSS_marginalizable:
             )
         return np.asarray(ll, dtype=float)
 
+    @staticmethod
+    def _suffix_pattern_lens_x(patterns, T, l):
+        """x-only twin of :meth:`_suffix_pattern_lens`: per-pattern
+        prefix lengths for (P, T·l) observation patterns, or ``None``
+        when any pattern has partially-observed steps or interior gaps
+        (all-missing rows included — the masked filter handles those
+        with its exact 0.0 convention)."""
+        P = np.asarray(patterns, dtype=bool).reshape(-1, T, l)
+        x_all, x_any = P.all(-1), P.any(-1)
+        if not np.array_equal(x_all, x_any):
+            return None
+        lens = x_all.sum(axis=1)
+        expect = np.arange(T)[None, :] < lens[:, None]
+        if not np.array_equal(x_all, expect) or lens.min() < 1:
+            return None
+        return lens.astype(np.int32)
+
     def _all_observed_logliks(self, T0, observations) -> np.ndarray:
         _T0, vx, patterns, pid = self._packed_observed(observations, T0)
+        if _T0 * self.d_observations > 512:
+            # long T: the dense observed joint is (T·l)² per pattern —
+            # route the O(T) filters (suffix lengths: the x-marginal
+            # Kalman pass; anything else: the masked filter with an
+            # all-NaN state block)
+            x3 = jnp.transpose(
+                vx.reshape(-1, _T0, self.d_observations), (1, 0, 2)
+            )
+            plens = self._suffix_pattern_lens_x(
+                patterns, _T0, self.d_observations
+            )
+            if plens is not None:
+                ll = em.observed_logliks_kalman(
+                    self._stacked_params(),
+                    x3,
+                    jnp.asarray(plens[np.asarray(pid)]),
+                )
+            else:
+                z_none = jnp.full(
+                    (_T0, x3.shape[1], self.d_states), jnp.nan, x3.dtype
+                )
+                ll = em.masked_logliks_kalman(
+                    self._stacked_params(), z_none, x3
+                )
+            return np.asarray(ll, dtype=float)
         ll = em.observed_logliks(
             self._stacked_params(), vx, patterns, pid, T=_T0
         )

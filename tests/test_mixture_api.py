@@ -518,6 +518,55 @@ def test_long_T_suffix_inference_routes_markov(monkeypatch):
     assert not calls
 
 
+def test_long_T_observed_inference_routes_o_t_paths():
+    """Past T·l > 512 the observed-only (x-marginal) inference routes
+    the O(T) filters — the x-marginal Kalman pass for suffix lengths,
+    the masked filter (all-NaN state block) for interior missingness —
+    and must equal the dense observed-moments path (f64)."""
+    from multimodal_trajectory_modeling_tpu.models import em
+
+    rng = np.random.default_rng(31)
+    T, n, d, l = 300, 40, 1, 2  # T·l = 600 > 512
+    z = rng.normal(size=(T, n, d))
+    for regime in ("suffix", "interior"):
+        x = rng.normal(size=(T, n, l))
+        if regime == "suffix":
+            lens = rng.integers(1, T + 1, size=n)
+            x[~(np.arange(T)[:, None] < lens[None, :])] = np.nan
+        else:
+            x[rng.random(size=x.shape) < 0.05] = np.nan
+        mdl = MMLinGaussSS_marginalizable(
+            n_clusters=2,
+            states=z,
+            observations=x,
+            random_seed=11,
+            init="random",
+        )
+        # the constructor's random transitions are often expansive —
+        # the DENSE oracle's 600² observed covariance then overflows /
+        # loses PSD, which is the very failure mode the O(T) route
+        # removes; pin stable dynamics so the oracle itself is finite
+        C = 2
+        stable = em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.stack([jnp.eye(d)] * C),
+            A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+            G=jnp.stack([jnp.eye(d)] * C),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.stack([jnp.eye(l)] * C),
+        )
+        mdl._set_params(stable)
+        ll = mdl._all_observed_logliks(T, None)
+        _T0, vx, patterns, pid = mdl._packed_observed(None, T)
+        dense = np.asarray(
+            em.observed_logliks(
+                mdl._stacked_params(), vx, patterns, pid, T=T
+            )
+        )
+        np.testing.assert_allclose(ll, dense, rtol=1e-7, atol=1e-7)
+
+
 def test_train_fast_long_T_interior_missingness_routes_filter(monkeypatch):
     """At T(d+l) > 512 with interior missingness, train(fast=True) routes
     the exact O(T) masked-filter trainer (the dense joint would be
