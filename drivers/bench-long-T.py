@@ -214,6 +214,23 @@ def time_kalman_masked(z, x, T, params, iters=10):
     return ll_ms, xla_ms, em_ms
 
 
+def time_suffix_inference(z, x, lens, T, params, iters=10):
+    """ms per one-shot (C, n) suffix-missingness INFERENCE call on the
+    routed path (`em.suffix_logliks_markov`: grid-materialized canonical
+    Φ + full-precision weight GEMM on TPU, XLA slice-pair elsewhere) —
+    held-out scoring / held-out model selection is this call; compare
+    against the masked-filter column (its exact arbitrary-missingness
+    superset, ~26× slower at T=300 on suffix data)."""
+    lj = jnp.asarray(lens.astype(np.int32))
+    ll = em.suffix_logliks_markov(params, z, x, lj)
+    float(ll[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ll = em.suffix_logliks_markov(params, z, x, lj)
+    float(ll[0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def time_dense(z, x, v, patterns, pid, T, params, iters=10):
     n = v.shape[0]
     order = np.argsort(pid, kind="stable")
@@ -260,12 +277,14 @@ def main():
         )
         mk = time_markov(z, x, lens, T, params)
         mat_ms, mk_phi = time_markov_phi(z, x, lens, T, params)
+        inf_ms = time_suffix_inference(z, x, lens, T, params)
         ka, ka_xla, ka_em = time_kalman_masked(z, x, T, params)
         if T <= DENSE_T_MAX:
             dn = time_dense(z, x, v, patterns, pid, T, params)
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter"
                 f"   phi {mk_phi:6.2f} ms/iter (+{mat_ms:.1f} once)"
+                f"   infer {inf_ms:7.2f} ms"
                 f"   dense {dn:8.2f} ms/iter"
                 f"   ({dn/mk:.1f}x)   kalman-masked {ka:8.2f} ms/eval"
                 f" (xla {ka_xla:.2f}) {ka_em:8.2f} ms/EM-iter",
@@ -276,6 +295,7 @@ def main():
             print(
                 f"T={T:4d}: markov {mk:8.2f} ms/iter"
                 f"   phi {mk_phi:6.2f} ms/iter (+{mat_ms:.1f} once)"
+                f"   infer {inf_ms:7.2f} ms"
                 f"   dense —— "
                 f"((T(d+l))² joint = {(T*(D_H+D_O))}² per (cluster, pattern))"
                 f"   kalman-masked {ka:8.2f} ms/eval (xla {ka_xla:.2f})"
@@ -285,6 +305,7 @@ def main():
         rows.append({"T": T, "markov_ms": round(mk, 2),
                      "markov_phi_ms": round(mk_phi, 2),
                      "phi_materialize_ms": round(mat_ms, 2),
+                     "suffix_infer_ms": round(inf_ms, 2),
                      "dense_ms": None if dn is None else round(dn, 2),
                      "kalman_masked_ms": round(ka, 2),
                      "kalman_masked_xla_ms": round(ka_xla, 2),
