@@ -57,6 +57,43 @@ def test_macc_driver_gates_cleanly(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_long_T_smoke(tmp_path):
+    """bench-long-T at tiny scale on CPU: one short-T (dense column
+    present) and one past-the-dense-gate T; every timing column must be
+    finite and positive — this drives all four density routes (packed
+    Markov EM, grid-materialized Φ, routed suffix inference, masked
+    Kalman filter) plus the dense kernels through one process."""
+    code = (
+        "import os, sys\n"
+        "os.environ['MTM_LONGT_N'] = '1000'\n"
+        "os.environ['MTM_LONGT_TLIST'] = '6,12'\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        f"runpy.run_path({os.path.join(REPO, 'drivers', 'bench-long-T.py')!r},"
+        " run_name='__main__')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    assert [row["T"] for row in rows] == [6, 12]
+    for row in rows:
+        assert row["dense_ms"] is not None  # both Ts under the dense gate
+        for key, val in row.items():
+            if key.endswith("_ms"):
+                assert np.isfinite(val) and val > 0, (key, val)
+
+
+@pytest.mark.slow
 def test_scale_sweep_smoke(tmp_path):
     """synthetic-scale-sweep at n=2000 on CPU: every cluster count must
     converge (status 1) and report finite objectives."""
