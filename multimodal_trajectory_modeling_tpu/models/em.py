@@ -1083,7 +1083,6 @@ def complete_data_loglik_markov(
 
 
 @jax.jit
-@jax.jit
 def _suffix_logliks_markov_xla(
     params: MixtureParams, z, x, lens
 ) -> jax.Array:
@@ -1162,6 +1161,7 @@ def suffix_logliks_markov(
     return _suffix_logliks_markov_xla(params, z, x, lens)
 
 
+@jax.jit
 def model_loglik_markov(
     params: MixtureParams,
     z: jax.Array,  # (T, n, d) NaN-suffix-padded

@@ -234,6 +234,30 @@ class MMLinGaussSS_marginalizable:
             return None  # interior gaps
         return lens.astype(np.int32)
 
+    @staticmethod
+    def _suffix_instance_lens(z_np, x_np):
+        """Per-INSTANCE twin of :meth:`_suffix_pattern_lens`, computed
+        straight from the (T, n, ·) NaN masks — same gate semantics
+        (lockstep z/x steps, no partial steps, no interior gaps) without
+        materializing the packed joint or grouping patterns.  Returns
+        ``(n,) int32`` lengths or ``None``."""
+        fin_z = np.isfinite(z_np)  # (T, n, d)
+        fin_x = np.isfinite(x_np)  # (T, n, l)
+        z_all, z_any = fin_z.all(-1), fin_z.any(-1)
+        x_all, x_any = fin_x.all(-1), fin_x.any(-1)
+        if not (
+            np.array_equal(z_all, z_any)
+            and np.array_equal(x_all, x_any)
+            and np.array_equal(z_all, x_all)
+        ):
+            return None  # partially-observed time steps or z/x mismatch
+        lens = z_all.sum(axis=0)  # (n,)
+        T = fin_z.shape[0]
+        expect = np.arange(T)[:, None] < lens[None, :]
+        if not np.array_equal(z_all, expect) or lens.min() < 1:
+            return None  # interior gaps
+        return lens.astype(np.int32)
+
     def _packed(self, states, observations, T0=None):
         """Pack (prefix of) a dataset into (v, patterns, pattern_id) device
         arrays; cached for the training data."""
@@ -909,14 +933,13 @@ class MMLinGaussSS_marginalizable:
         dt = _compute_dtype()
         z_np = np.atleast_3d(self.states).astype(float)
         x_np = np.atleast_3d(self.observations).astype(float)
-        v_np = native.pack_joint(z_np, x_np)
-        patterns, pid = native.pattern_groups(v_np)
-        del v_np
         T = z_np.shape[0]
-        plens = self._suffix_pattern_lens(
-            patterns, T, z_np.shape[-1], x_np.shape[-1]
-        )
-        if plens is None:
+        # per-instance suffix gate straight off the NaN masks — building
+        # the packed (n, T(d+l)) f64 joint just to group patterns would
+        # transiently double host memory on the one path whose reason to
+        # exist is host-RAM-bounded capacity
+        ilens = self._suffix_instance_lens(z_np, x_np)
+        if ilens is None:
             return None
         chunk = int(os.environ.get("MTM_MARKOV_OOC_CHUNK", str(1 << 20)))
         params, assign, iters, status = em.train_em_markov_outofcore(
@@ -924,7 +947,7 @@ class MMLinGaussSS_marginalizable:
             np.asarray(self.cluster_assignment, np.int32),
             z_np.astype(np.dtype(dt), copy=False),
             x_np.astype(np.dtype(dt), copy=False),
-            plens[np.asarray(pid)],
+            ilens,
             n_steps=n_steps,
             reg_mode=reg_mode,
             alpha=float(self.alpha),
