@@ -160,43 +160,70 @@ def _list_chol(Smat, D):
     lane vectors — every op is a full-lane VPU op.  (XLA's batched
     ``linalg.cholesky`` on (n, D, D) arrays puts the D×D block on the
     tile's sublane×lane axes, wasting ~97% of each tile at D≈5 —
-    measured 15.6 s vs ~ms for one T=64 filter pass at n=1e5.)"""
+    measured 15.6 s vs ~ms for one T=64 filter pass at n=1e5.)
+
+    Returns ``(L, invd)`` with ``invd[j] = 1/L[j][j]`` computed via one
+    ``rsqrt`` per column (``L[j][j] = s·rsqrt(s)``) so the triangular
+    solves below are division-free — the unrolled step algebra spends
+    ~50 VPU divides/step otherwise, each many times the cost of a
+    multiply."""
     L = [[None] * D for _ in range(D)]
+    invd = [None] * D
     for j in range(D):
         s = Smat[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(s)
-        L[j][j] = Ljj
-        inv = 1.0 / Ljj
+        inv = jax.lax.rsqrt(s)
+        L[j][j] = s * inv
+        invd[j] = inv
         for i in range(j + 1, D):
             t = Smat[i][j]
             for k in range(j):
                 t = t - L[i][k] * L[j][k]
             L[i][j] = t * inv
-    return L
+    return L, invd
 
 
-def _fwd_solve(L, b, D):
+def _fwd_solve(L, invd, b, D):
     """Solve ``L w = b`` (lower, unrolled; lists of lane vectors)."""
     w = []
     for i in range(D):
         t = b[i]
         for k in range(i):
             t = t - L[i][k] * w[k]
-        w.append(t / L[i][i])
+        w.append(t * invd[i])
     return w
 
 
-def _bwd_solve(L, y, D):
+def _bwd_solve(L, invd, y, D):
     """Solve ``Lᵀ x = y`` (unrolled)."""
     x = [None] * D
     for i in reversed(range(D)):
         t = y[i]
         for k in range(i + 1, D):
             t = t - L[k][i] * x[k]
-        x[i] = t / L[i][i]
+        x[i] = t * invd[i]
     return x
+
+
+def _tri_pack(P, d):
+    """Nested full d×d list → row-major lower-triangle list (len
+    d(d+1)/2)."""
+    return [P[i][j] for i in range(d) for j in range(i + 1)]
+
+
+def _tri_unpack(tri, d):
+    """Lower-triangle list → nested full d×d list with the upper
+    triangle ALIASED to the lower (same traced values, zero extra ops
+    or storage — symmetry by construction)."""
+    P = [[None] * d for _ in range(d)]
+    k = 0
+    for i in range(d):
+        for j in range(i + 1):
+            P[i][j] = tri[k]
+            P[j][i] = tri[k]
+            k += 1
+    return P
 
 
 def masked_filter_step(
@@ -270,8 +297,8 @@ def masked_filter_step(
         msk(oxr[b_], x_t[b_] - mux[b_]) for b_ in range(l)
     ]
 
-    Lch = _list_chol(Sig, D)
-    w = _fwd_solve(Lch, e, D)
+    Lch, invd = _list_chol(Sig, D)
+    w = _fwd_solve(Lch, invd, e, D)
     logdet = sum(jnp.log(Lch[i][i]) for i in range(D)) * 2.0
     quad = sum(wi * wi for wi in w)
     nobs = sum(ozr) + sum(oxr)
@@ -285,8 +312,8 @@ def masked_filter_step(
     ]
     K = []
     for i in range(d):
-        yi = _fwd_solve(Lch, PM[i], D)
-        K.append(_bwd_solve(Lch, yi, D))
+        yi = _fwd_solve(Lch, invd, PM[i], D)
+        K.append(_bwd_solve(Lch, invd, yi, D))
     mu_post = [
         mu[i] + sum(e[a_] * K[i][a_] for a_ in range(D)) for i in range(d)
     ]
@@ -317,6 +344,135 @@ def masked_filter_step(
         for i in range(d)
     ]
     return mu_next, P_next, ll_delta
+
+
+def _masked_gauss_update(mu, P, e_raw, Sig_raw, PM_raw, o, q, d):
+    """Condition the state ``(mu, P)`` on one masked q-dim observation
+    block, entirely on generic lane arrays (see
+    :func:`masked_filter_step` for the container convention).
+
+    ``e_raw`` (q) is the unmasked innovation, ``Sig_raw`` (q×q, only the
+    lower triangle is read) its unmasked covariance, ``PM_raw`` (d×q)
+    the unmasked state↔observation cross-covariance, ``o`` (q) the 0/1
+    observation masks.  Masked coordinates are decoupled by the
+    unit-dummy trick (zero rows/cols via ``where``-selects, unit
+    diagonal, excluded from the 2π count) — exactly the dropped-
+    coordinate Gaussian marginal.
+
+    The gain is applied in Cholesky-factored form: with
+    ``Σ = L Lᵀ``, ``U_i = L⁻¹ (PM row i)`` and ``w = L⁻¹ e`` give
+    ``μ⁺ = μ + Uᵀw`` and ``P⁺ = P − UᵀU`` — no backward solves, and the
+    posterior covariance is computed on the lower triangle only (the
+    upper is aliased), which is both cheaper than the explicit-gain
+    form and exactly symmetric by construction.
+
+    Returns ``(mu_c, P_c, ll_delta)`` with ``P_c`` lower-aliased.
+    """
+
+    def msk(oa, v):
+        return jnp.where(oa > 0, v, jnp.zeros_like(v))
+
+    def msk2(oa, ob, v):
+        return jnp.where((oa > 0) & (ob > 0), v, jnp.zeros_like(v))
+
+    Sig = [[None] * q for _ in range(q)]
+    for a in range(q):
+        for b in range(a):
+            Sig[a][b] = msk2(o[a], o[b], Sig_raw[a][b])
+        Sig[a][a] = msk(o[a], Sig_raw[a][a]) + (1.0 - o[a])
+    Lch, invd = _list_chol(Sig, q)
+    e = [msk(o[a], e_raw[a]) for a in range(q)]
+    w = _fwd_solve(Lch, invd, e, q)
+    quad = sum(wi * wi for wi in w)
+    logdet = 2.0 * sum(jnp.log(Lch[a][a]) for a in range(q))
+    nobs = sum(o)
+    ll_delta = -0.5 * (logdet + quad + nobs * _LOG_2PI)
+
+    U = [
+        _fwd_solve(
+            Lch, invd, [msk(o[a], PM_raw[i][a]) for a in range(q)], q
+        )
+        for i in range(d)
+    ]
+    mu_c = [
+        mu[i] + sum(w[a] * U[i][a] for a in range(q)) for i in range(d)
+    ]
+    P_c = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            v = P[i][j] - sum(U[i][a] * U[j][a] for a in range(q))
+            P_c[i][j] = v
+            P_c[j][i] = v
+    return mu_c, P_c, ll_delta
+
+
+def masked_filter_step_split(
+    mu, P, z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d: int, l: int
+):
+    """Split-form masked filter step — the production replacement for
+    :func:`masked_filter_step`'s combined (d+ℓ)-dim observation.
+
+    Exact chain-rule factorization of the same per-step density:
+    ``p(z_obs, x_obs | past) = p(z_obs | past) · p(x_obs | z_obs,
+    past)`` — first condition the state on the observed z coordinates
+    (a noiseless partial observation of the state itself: innovation
+    covariance = masked P, cross-covariance = masked P), then update on
+    the observed x coordinates against the CONDITIONED moments
+    (innovation covariance = masked HᵀP_cH + Λ).  Block-Cholesky
+    identity: the combined form's D×D factorization factors the z-block
+    first and the x-block against its Schur complement, so logdet/quad
+    split exactly into these two masked sub-problems.
+
+    Same masking/robustness semantics as the combined step
+    (``where``-selects, unit dummies, observed-coord 2π count) at ~1.6×
+    fewer lane ops: chol(d)+chol(ℓ) replaces chol(d+ℓ), the factored
+    U-form eliminates all backward solves, every covariance update
+    touches the lower triangle only, and the predict step exploits
+    symmetry (no 0.5·(X+Xᵀ) resymmetrization — P stays exactly
+    symmetric by aliasing).
+
+    ``P`` may be lower-aliased (see :func:`_tri_unpack`); ``P_next`` is
+    returned lower-aliased.  Reference semantics: the dense
+    drop-rows/cols marginalization of
+    marginalizable_state_space_model.py:741-773.
+    """
+    # phase 1: condition on observed z (observation map = identity)
+    ez = [z_t[a] - mu[a] for a in range(d)]
+    mu_c, P_c, ll_z = _masked_gauss_update(mu, P, ez, P, P, oz_t, d, d)
+
+    # phase 2: update on observed x against the conditioned moments
+    PH = [
+        [sum(P_c[i][k] * Hs[k][b] for k in range(d)) for b in range(l)]
+        for i in range(d)
+    ]
+    SigX = [[None] * l for _ in range(l)]
+    for a in range(l):
+        for b in range(a + 1):
+            SigX[a][b] = (
+                sum(Hs[k][a] * PH[k][b] for k in range(d)) + Ls[a][b]
+            )
+    mux = [sum(mu_c[i] * Hs[i][b] for i in range(d)) for b in range(l)]
+    ex = [x_t[b] - mux[b] for b in range(l)]
+    mu_p, P_p, ll_x = _masked_gauss_update(
+        mu_c, P_c, ex, SigX, PH, ox_t, l, d
+    )
+
+    # predict (row convention: z' = z A + w); P_next symmetric by
+    # construction — lower triangle only
+    mu_next = [
+        sum(mu_p[i] * As[i][j] for i in range(d)) for j in range(d)
+    ]
+    AP = [
+        [sum(As[k][i] * P_p[k][j] for k in range(d)) for j in range(d)]
+        for i in range(d)
+    ]
+    P_next = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            v = sum(AP[i][k] * As[k][j] for k in range(d)) + Gs[i][j]
+            P_next[i][j] = v
+            P_next[j][i] = v
+    return mu_next, P_next, ll_z + ll_x
 
 
 @functools.partial(jax.jit, static_argnames=("unroll",))
@@ -393,16 +549,19 @@ def kalman_masked_logliks(
         Ls = [[Lc[a, b] for b in range(l)] for a in range(l)]
 
         def step(carry, inp):
-            mu, P, ll = carry  # lists: mu (d of (n,)), P (d×d of (n,))
+            mu, Ptri, ll = carry  # mu: d of (n,); Ptri: d(d+1)/2 of (n,)
             z_t, x_t, oz_t, ox_t = inp  # (d, n)/(l, n) slabs
-            mu_next, P_next, dll = masked_filter_step(
-                mu, P, z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d, l
+            mu_next, P_next, dll = masked_filter_step_split(
+                mu, _tri_unpack(Ptri, d),
+                z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d, l,
             )
-            return (mu_next, P_next, ll + dll), None
+            return (mu_next, _tri_pack(P_next, d), ll + dll), None
 
         ones_n = jnp.ones((n,), dtype)
         mu0 = [mc[i] * ones_n for i in range(d)]
-        P0 = [[Sc[i, j] * ones_n for j in range(d)] for i in range(d)]
+        P0 = [
+            Sc[i, j] * ones_n for i in range(d) for j in range(i + 1)
+        ]
         carry = (mu0, P0, jnp.zeros((n,), dtype))
         if unroll:
             for t in range(T):

@@ -5,10 +5,10 @@ The XLA path (:func:`.kalman.kalman_masked_logliks`) scalarizes the
 per-row filter into nested lists of (n,) lane vectors; every one of the
 ~10³ small ops per step then round-trips HBM, so at bench scale the pass
 is HBM-bound ~10× off the VPU ceiling.  This kernel runs the SAME step
-algebra (:func:`.kalman.masked_filter_step` — shared, not re-derived) on
-(8, Bn) VMEM tiles with the whole T×C recursion's state held in a VMEM
-scratch, so intermediate values never touch HBM and the pass is
-VPU-compute-bound.
+algebra (:func:`.kalman.masked_filter_step_split` — shared, not
+re-derived) on (8, Bn) VMEM tiles with the whole T×C recursion's state
+held in a VMEM scratch, so intermediate values never touch HBM and the
+pass is VPU-compute-bound.
 
 Layout/TPU shape:
 
@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kalman import masked_filter_step
+from .kalman import _tri_pack, _tri_unpack, masked_filter_step_split
 
 __all__ = [
     "pack_masked_kalman",
@@ -55,9 +55,16 @@ __all__ = [
 ]
 
 
+def _n_state_planes(d: int) -> int:
+    """State planes per cluster: μ (d) + lower-triangle P (d(d+1)/2,
+    symmetric — the full d² was never needed) + ll (1)."""
+    return d + d * (d + 1) // 2 + 1
+
+
 def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
-    npl_ = d * d + d + 1  # state planes per cluster: mu, P, ll
-    o_ll = d + d * d
+    ntri = d * (d + 1) // 2
+    npl_ = _n_state_planes(d)
+    o_ll = d + ntri
 
     def kernel(z_ref, x_ref, m_ref, S_ref, A_ref, G_ref, H_ref, L_ref,
                out_ref, st_ref):
@@ -70,10 +77,12 @@ def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
         @pl.when(t == 0)
         def _():
             def init_c(c, carry):
+                k = 0
                 for i in range(d):
                     st_ref[c, i] = m_ref[c, i] * ones
-                    for j in range(d):
-                        st_ref[c, d + i * d + j] = S_ref[c, i, j] * ones
+                    for j in range(i + 1):
+                        st_ref[c, d + k] = S_ref[c, i, j] * ones
+                        k += 1
                 st_ref[c, o_ll] = zeros
                 return carry
 
@@ -85,37 +94,30 @@ def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
             Gs = [[G_ref[c, i, j] for j in range(d)] for i in range(d)]
             Ls = [[L_ref[c, a, b] for b in range(l)] for a in range(l)]
             mu0 = tuple(st_ref[c, i] for i in range(d))
-            P0 = tuple(
-                tuple(st_ref[c, d + i * d + j] for j in range(d))
-                for i in range(d)
-            )
+            P0 = tuple(st_ref[c, d + k] for k in range(ntri))
             ll0 = st_ref[c, o_ll]
 
             def step_body(tt, state):
-                mu, P, ll = state
+                mu, Ptri, ll = state
                 zv = [z_ref[tt, a] for a in range(d)]
                 xv = [x_ref[tt, b] for b in range(l)]
                 oz = [(v == v).astype(dtype) for v in zv]
                 ox = [(v == v).astype(dtype) for v in xv]
                 zc = [jnp.where(v == v, v, zeros) for v in zv]
                 xc = [jnp.where(v == v, v, zeros) for v in xv]
-                mu2, P2, dll = masked_filter_step(
-                    list(mu), [list(r) for r in P], zc, xc, oz, ox,
+                mu2, P2, dll = masked_filter_step_split(
+                    list(mu), _tri_unpack(list(Ptri), d), zc, xc, oz, ox,
                     Hs, As, Gs, Ls, d, l,
                 )
-                return (
-                    tuple(mu2),
-                    tuple(tuple(r) for r in P2),
-                    ll + dll,
-                )
+                return (tuple(mu2), tuple(_tri_pack(P2, d)), ll + dll)
 
-            mu, P, ll = jax.lax.fori_loop(
+            mu, Ptri, ll = jax.lax.fori_loop(
                 0, Tc, step_body, (mu0, P0, ll0)
             )
             for i in range(d):
                 st_ref[c, i] = mu[i]
-                for j in range(d):
-                    st_ref[c, d + i * d + j] = P[i][j]
+            for k in range(ntri):
+                st_ref[c, d + k] = Ptri[k]
             st_ref[c, o_ll] = ll
             out_ref[c] = ll
             return carry
@@ -133,7 +135,7 @@ def _pick_block_cols(d: int, l: int, C: int, itemsize: int, Tc: int) -> int:
     128-lane block exceeds the budget — raise a sizing error instead of
     letting Mosaic fail opaquely at compile time."""
     budget = 8 * 1024 * 1024
-    planes = C * (d * d + d + 1) + 2 * Tc * (d + l) + C
+    planes = C * _n_state_planes(d) + 2 * Tc * (d + l) + C
     bn = (budget // (planes * 8 * itemsize)) // 128 * 128
     if bn < 128:
         need_mb = planes * 8 * 128 * itemsize / 2**20
@@ -233,7 +235,7 @@ def kalman_masked_logliks_packed(
         out_specs=pl.BlockSpec((C, 8, bn), lambda jb, tb: (0, 0, jb)),
         out_shape=jax.ShapeDtypeStruct((C, 8, cols), dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, d * d + d + 1, 8, bn), dtype),
+            pltpu.VMEM((C, _n_state_planes(d), 8, bn), dtype),
         ],
         interpret=interpret,
     )(

@@ -208,6 +208,81 @@ def test_observed_kalman_long_T_masked_route():
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
+def test_split_step_equals_combined_step():
+    """The split-form step (condition on observed z, then update on
+    observed x — the production algebra) must equal the combined
+    (d+l)-dim observation step on random lane arrays under every mask
+    regime: dense, partial, all-z-missing, all-x-missing, all-missing.
+    Block-Cholesky identity → f64 agreement to roundoff."""
+    rng = np.random.default_rng(23)
+    d, l, n = 4, 3, 64
+    for case in range(4):
+        Hc = rng.normal(size=(d, l))
+        Ac = rng.normal(scale=0.5, size=(d, d))
+        Gc = rng.normal(size=(d, d))
+        Gc = Gc @ Gc.T / d + np.eye(d)
+        Lc = rng.normal(size=(l, l))
+        Lc = Lc @ Lc.T / l + np.eye(l)
+        P0 = rng.normal(size=(d, d))
+        P0 = P0 @ P0.T / d + np.eye(d)
+        mu = [jnp.asarray(rng.normal(size=n)) for _ in range(d)]
+        P = [
+            [jnp.asarray(np.full(n, P0[i, j])) for j in range(d)]
+            for i in range(d)
+        ]
+        # perturb P per-lane, keeping symmetry + PD
+        bump = rng.random(size=n) * 0.5
+        P = [
+            [
+                P[i][j] + (bump if i == j else 0.0)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+        z_t = [jnp.asarray(rng.normal(size=n)) for _ in range(d)]
+        x_t = [jnp.asarray(rng.normal(size=n)) for _ in range(l)]
+        oz = [
+            jnp.asarray((rng.random(size=n) < 0.7).astype(np.float64))
+            for _ in range(d)
+        ]
+        ox = [
+            jnp.asarray((rng.random(size=n) < 0.7).astype(np.float64))
+            for _ in range(l)
+        ]
+        if case == 1:  # all z missing
+            oz = [jnp.zeros(n) for _ in range(d)]
+        elif case == 2:  # all x missing
+            ox = [jnp.zeros(n) for _ in range(l)]
+        elif case == 3:  # everything missing
+            oz = [jnp.zeros(n) for _ in range(d)]
+            ox = [jnp.zeros(n) for _ in range(l)]
+        Hs = [[Hc[i, b] for b in range(l)] for i in range(d)]
+        As = [[Ac[i, j] for j in range(d)] for i in range(d)]
+        Gs = [[Gc[i, j] for j in range(d)] for i in range(d)]
+        Ls = [[Lc[a, b] for b in range(l)] for a in range(l)]
+        mu1, P1, ll1 = kalman.masked_filter_step(
+            mu, P, z_t, x_t, oz, ox, Hs, As, Gs, Ls, d, l
+        )
+        mu2, P2, ll2 = kalman.masked_filter_step_split(
+            mu, P, z_t, x_t, oz, ox, Hs, As, Gs, Ls, d, l
+        )
+        np.testing.assert_allclose(
+            np.asarray(ll2), np.asarray(ll1), rtol=1e-11, atol=1e-11
+        )
+        for i in range(d):
+            np.testing.assert_allclose(
+                np.asarray(mu2[i]), np.asarray(mu1[i]),
+                rtol=1e-10, atol=1e-11,
+            )
+            for j in range(d):
+                np.testing.assert_allclose(
+                    np.asarray(P2[i][j]), np.asarray(P1[i][j]),
+                    rtol=1e-10, atol=1e-11, err_msg=f"case {case}",
+                )
+        if case == 3:  # no observation: pure predict, ll contribution 0
+            np.testing.assert_allclose(np.asarray(ll2), 0.0, atol=1e-13)
+
+
 def test_pallas_masked_kalman_matches_xla():
     """The Pallas grid kernel (interpret mode, f64) must reproduce the
     scalarized XLA masked filter on arbitrary interior missingness —
