@@ -1,4 +1,13 @@
 """Compat shim → models.hybrid."""
+if __name__ == "__main__":  # direct execution: repo root onto sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    )
+
 from multimodal_trajectory_modeling_tpu.models.hybrid import (  # noqa: F401
     StateSpaceHybrid,
 )
@@ -6,3 +15,18 @@ import numpy as _np
 
 # reference module-level constant (state_space_model_linear_trans_knn_meas.py)
 np_eps = _np.finfo(float).eps
+if __name__ == "__main__":
+    # Reference usage parity: `python3 framework_extended/state_space_model_linear_trans_knn_meas.py` runs the module's
+    # property-test battery (state_space_model_linear_trans_knn_meas.py:167-210).  The battery lives as pytest
+    # (tests/test_extended_framework.py -k hybrid); delegate to it.
+    import os
+    import subprocess
+    import sys
+
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(
+        subprocess.call(
+            [sys.executable, "-m", "pytest", "-q", *["tests/test_extended_framework.py", "-k", "hybrid"],],
+            cwd=_root,
+        )
+    )
