@@ -171,11 +171,22 @@ def bench_tpu(ztp, xtp, patterns, pid):
     phi = jax.jit(
         functools.partial(em.pack_markov_features, T=T, d=D_H, l=D_O)
     )(u, lens)
+    # production default for f32 batches: Φ stored int16-quantized with
+    # per-feature scales (PhiQuant — halves the per-iteration HBM
+    # stream; scales folded exactly into the GEMM weights), matching
+    # train_em_markov's MTM_MARKOV_PHI routing
+    store = em._resolve_phi_store(jnp.float32)
+    if isinstance(store, str) and store == "i16":
+        from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+        phi = pallas_markov.quantize_phi(phi)
+    elif store is not None:
+        phi = jax.jit(lambda p: p.astype(store))(phi)
     # u is dead once Φ exists (the Φ-route iteration reads only Φ), but
     # unlike train_em_markov's single-jit liveness a Python ref here
     # keeps its 3.2 GB/1e6-rows buffer resident — drop it so the
     # n=1e7 capacity run fits in one chip's 16 GB
-    phi.block_until_ready()
+    jax.block_until_ready(phi)
     del u
 
     @jax.jit
@@ -304,12 +315,16 @@ def _analytic_flops_per_iter(n):
 
 
 def _phi_bytes_per_iter(n):
-    """Per-iteration HBM stream: the materialized feature matrix Φ
-    (f32), read once per EM iteration."""
+    """Per-iteration HBM stream: the materialized feature matrix Φ,
+    read once per EM iteration (2 bytes/entry under the int16-quantized
+    default, 4 under wide f32)."""
+    from multimodal_trajectory_modeling_tpu.models import em
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
+    store = em._resolve_phi_store(jnp.float32)
+    itemsize = 4 if store is None else 2
     fc_pad, _uniq, _pos = pallas_markov.markov_compact_spec(T, D_H, D_O)
-    return fc_pad * n * 4
+    return fc_pad * n * itemsize
 
 
 def main():

@@ -577,6 +577,40 @@ def markov_packed_ok(T: int, d: int, l: int) -> bool:
     return T * 8 * ((d + l + 7) // 8) <= 512
 
 
+def _resolve_phi_store(dtype):
+    """Resolve the Φ storage mode from ``MTM_MARKOV_PHI`` for a batch of
+    compute ``dtype`` — HOST-level only (reads the environment).
+
+    Modes: ``i16`` (default for f32 compute) stores Φ int16-quantized
+    with per-feature scales (:class:`..ops.pallas_markov.PhiQuant` —
+    half the per-iteration HBM stream, quantization folded exactly into
+    the GEMM weights); ``bf16`` the legacy narrow opt-in
+    (``MTM_MARKOV_PHI_BF16=1`` still honored); ``wide`` (always the
+    default off f32 — f64 parity trajectories stay bit-exact) stores the
+    compute dtype.  Returns the ``phi_store`` value the feature routers
+    accept: ``"i16"``, a dtype, or None."""
+    import os as _os
+
+    mode = _os.environ.get("MTM_MARKOV_PHI", "").lower()
+    if not mode:
+        mode = (
+            "bf16"
+            if _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
+            else "auto"
+        )
+    if mode == "auto":
+        mode = "i16" if jnp.dtype(dtype) == jnp.float32 else "wide"
+    if mode in ("wide", "f32", "f64", "off", "0"):
+        return None
+    if mode == "bf16":
+        return jnp.bfloat16
+    if mode == "i16":
+        return "i16"
+    raise ValueError(
+        f"MTM_MARKOV_PHI={mode!r}: expected auto, i16, bf16 or wide"
+    )
+
+
 def _markov_features(
     z: jax.Array,  # (T, n, d) NaN-suffix-padded
     x: jax.Array,  # (T, n, l)
@@ -587,7 +621,7 @@ def _markov_features(
     l: int,
     u: jax.Array = None,  # reuse a pre-packed batch if the caller has one
     precompute: bool = None,  # None → MTM_MARKOV_PRECOMP (default on)
-    phi_store=None,  # None → f32/f64; jnp.bfloat16 halves the Φ stream
+    phi_store="env",  # "env" → MTM_MARKOV_PHI; "i16"/dtype/None explicit
     interpret: bool = None,
     longT_always_phi: bool = False,  # multi/pool: no grid fallback
 ) -> tuple[jax.Array, jax.Array, str]:
@@ -606,18 +640,24 @@ def _markov_features(
       single-restart path only; the R-restart kernels have no grid
       fallback, so multi/pool callers set ``longT_always_phi``).
 
-    ``precompute=None`` resolves ``MTM_MARKOV_PRECOMP`` HERE, at host
-    level — callers that jit must resolve it first and pass an explicit
-    bool (a jitted body would freeze the env into the trace).
-    ``phi_store`` is never env-resolved here: narrow Φ storage
-    (``MTM_MARKOV_PHI_BF16``) is a single-restart-path opt-in that
-    :func:`train_em_markov`'s wrapper resolves and passes explicitly."""
+    ``precompute=None`` and ``phi_store="env"`` resolve their env
+    contracts HERE, at host level — callers that jit must resolve first
+    and pass explicit values (a jitted body would freeze the env into
+    the trace).  ``phi_store="i16"`` materializes wide then quantizes to
+    :class:`..ops.pallas_markov.PhiQuant` (the f32 default —
+    :func:`_resolve_phi_store`)."""
     import os as _os
+
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
 
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu",)
     if precompute is None:
         precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    if isinstance(phi_store, str) and phi_store == "env":
+        phi_store = _resolve_phi_store(z.dtype)
+    quantize = isinstance(phi_store, str) and phi_store == "i16"
+    store = None if quantize else phi_store
     if markov_packed_ok(T, d, l):
         if u is None:
             n = z.shape[1]
@@ -632,18 +672,18 @@ def _markov_features(
                 d=d,
                 l=l,
                 dtype=z.dtype,
-                store_dtype=phi_store,
+                store_dtype=store,
                 interpret=interpret,
             )
             if precompute
             else None
         )
+        if quantize and phi is not None:
+            phi = pallas_markov.quantize_phi(phi)
         return u, phi, "compact"
     if not precompute and not longT_always_phi:
         return None, None, "canonical"
     # long T: grid-over-T canonical materialization, no packed batch
-    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
-
     n = z.shape[1]
     z_tp = jnp.transpose(z, (0, 2, 1)).reshape(T * d, n)
     x_tp = jnp.transpose(x, (0, 2, 1)).reshape(T * l, n)
@@ -654,9 +694,11 @@ def _markov_features(
         T=T,
         d=d,
         l=l,
-        store_dtype=phi_store,
+        store_dtype=store,
         interpret=interpret,
     )
+    if quantize:
+        phi = pallas_markov.quantize_phi(phi)
     return None, phi, "canonical"
 
 
@@ -1733,19 +1775,26 @@ def train_em_markov(
     materializes the per-instance feature matrix Φ once before the loop
     (:func:`pack_markov_features`, ~1.4× the packed batch's memory) so
     each iteration is a Φ-reading GEMM kernel instead of a shift-product
-    rebuild — f64-identical trajectories either way.  Env toggles
-    (``MTM_MARKOV_PRECOMP``, ``MTM_MARKOV_PHI_BF16``) are resolved here
-    at call time and enter the jitted impl as static arguments — they
-    are never read inside a trace, so flipping them between calls takes
-    effect (at the cost of one retrace)."""
+    rebuild — f64-identical trajectories either way.  Φ storage
+    (``MTM_MARKOV_PHI`` — :func:`_resolve_phi_store`) defaults to
+    int16-quantized for f32 batches (half the per-iteration HBM stream;
+    per-feature scales folded exactly into the GEMM weights, so the only
+    approximation is the one storage rounding ≈ 1.5e-5 of each feature
+    row's max) and to exact wide storage for f64 (parity trajectories
+    stay bit-identical).  Env toggles are resolved here at call time and
+    enter the jitted impl as static arguments — they are never read
+    inside a trace, so flipping them between calls takes effect (at the
+    cost of one retrace)."""
     import os as _os
 
     if precompute is None:
         precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
-    # MTM_MARKOV_PHI_BF16=1 stores Φ in bfloat16 — halves the per-iter
-    # HBM stream at a ~3-digit feature-precision cost (opt-in: trained
-    # parameters then deviate from the f32/f64 reference trajectory)
-    phi_bf16 = _os.environ.get("MTM_MARKOV_PHI_BF16", "0") == "1"
+    store = _resolve_phi_store(z.dtype)
+    phi_mode = (
+        "i16"
+        if isinstance(store, str)
+        else ("bf16" if store == jnp.bfloat16 else "wide")
+    )
     return _train_em_markov_impl(
         params0,
         assign0,
@@ -1757,7 +1806,7 @@ def train_em_markov(
         alpha=alpha,
         min_members=min_members,
         precompute=bool(precompute),
-        phi_bf16=phi_bf16,
+        phi_mode=phi_mode,
     )
 
 
@@ -1769,7 +1818,7 @@ def train_em_markov(
         "alpha",
         "min_members",
         "precompute",
-        "phi_bf16",
+        "phi_mode",
     ),
 )
 def _train_em_markov_impl(
@@ -1784,7 +1833,7 @@ def _train_em_markov_impl(
     alpha: float,
     min_members: int,
     precompute: bool,
-    phi_bf16: bool,
+    phi_mode: str,
 ) -> tuple[MixtureParams, jax.Array, jax.Array, jax.Array]:
     """One XLA program for the whole fit: transposes, packing, optional
     Φ materialization and the EM while_loop trace together, so XLA
@@ -1816,7 +1865,9 @@ def _train_em_markov_impl(
         l=l,
         u=u,
         precompute=precompute,
-        phi_store=jnp.bfloat16 if phi_bf16 else None,
+        phi_store={"i16": "i16", "bf16": jnp.bfloat16, "wide": None}[
+            phi_mode
+        ],
         interpret=interpret,
     )
     u = u_f if u_f is not None else u
@@ -1945,7 +1996,7 @@ def train_em_markov_outofcore(
     alpha: float = 0.0,
     min_members: int = 3,
     chunk_cols: int = 1 << 20,
-    phi_store=None,  # e.g. jnp.bfloat16 — halves the streamed bytes
+    phi_store="env",  # "env" → MTM_MARKOV_PHI (i16 default for f32)
 ):
     """:func:`train_em_markov` for batches whose feature matrix exceeds
     device HBM: Φ lives in HOST memory as per-chunk blocks and every EM
@@ -1979,6 +2030,8 @@ def train_em_markov_outofcore(
     l = x.shape[-1]
     C = int(np.asarray(params0.pi).shape[0])
     dtype = jnp.asarray(z[:1, :1]).dtype
+    if isinstance(phi_store, str) and phi_store == "env":
+        phi_store = _resolve_phi_store(dtype)
     interpret = jax.devices()[0].platform not in ("tpu",)
     layout = "compact" if markov_packed_ok(T, d, l) else "canonical"
     lens_np = np.asarray(lens, np.int32)
@@ -2002,7 +2055,9 @@ def train_em_markov_outofcore(
             store=phi_store,
             interpret=interpret,
         )
-        phi_chunks.append(np.asarray(phi_dev))
+        # device_get maps over pytrees — PhiQuant chunks (int16 payload
+        # + scales) land on host exactly like plain Φ arrays do
+        phi_chunks.append(jax.device_get(phi_dev))
         del phi_dev
 
     n_total = jnp.asarray(n, dtype)

@@ -26,11 +26,15 @@ rule instead of the dense joint covariance.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = [
+    "PhiQuant",
+    "dequantize_phi",
     "markov_assign_suffix",
     "markov_compact_spec",
     "markov_em_from_features",
@@ -42,7 +46,51 @@ __all__ = [
     "markov_materialize_features",
     "markov_packed_spec",
     "pack_markov_u",
+    "quantize_phi",
 ]
+
+
+class PhiQuant(NamedTuple):
+    """Symmetrically int16-quantized feature matrix Φ.
+
+    ``phi ≈ scale[:, None] · q`` with one scale per feature ROW, chosen
+    so the row's max-magnitude entry lands on ±32766.  Quantization
+    error is uniform-ABSOLUTE per row (≤ scale/2 ≈ 1.5e-5 · row max) —
+    ~30× tighter than bfloat16's relative 2⁻⁹ on the T-reduced
+    shift-product features, whose per-row spread is small next to their
+    magnitude — at the same 2 bytes/entry, so the per-iteration HBM
+    stream still halves vs f32.
+
+    Consumers never dequantize the (F, n) payload: the EM kernels'
+    score GEMM runs on raw ``q`` with ``scale`` FOLDED into the weight
+    rows (``wc·diag(scale)``), and the M sufficient statistics are
+    un-folded after the stats GEMM (``g = scale[:, None] · g̃``) — exact
+    linear algebra at (F, C) size, so the only approximation anywhere
+    is the one storage rounding.  A NamedTuple (= pytree): passes
+    through ``jit``/``while_loop`` boundaries wherever a plain Φ array
+    does.
+    """
+
+    q: jax.Array  # (Fc_pad, n_pad) int16
+    scale: jax.Array  # (Fc_pad,) compute dtype
+
+
+@jax.jit
+def quantize_phi(phi: jax.Array) -> PhiQuant:
+    """Quantize a materialized Φ (rows = features, lanes = instances)
+    to :class:`PhiQuant`.  One elementwise pass (once per fit — the EM
+    loop then streams half the bytes every iteration).  All-zero rows
+    (layout padding) get scale 1 so the reconstruction stays exact."""
+    amax = jnp.max(jnp.abs(phi), axis=1)
+    scale = jnp.where(amax > 0.0, amax, 1.0) * (1.0 / 32766.0)
+    q = jnp.round(phi * (1.0 / scale)[:, None]).astype(jnp.int16)
+    return PhiQuant(q, scale.astype(phi.dtype))
+
+
+def dequantize_phi(pq: PhiQuant) -> jax.Array:
+    """Reconstruct the (rounded) wide Φ — test/diagnostic helper; the
+    production consumers fold ``scale`` into the GEMM weights instead."""
+    return pq.scale[:, None] * pq.q.astype(pq.scale.dtype)
 
 
 def _markov_assign_kernel(T: int, d: int, l: int, C: int):
@@ -1355,7 +1403,15 @@ def markov_em_from_features(
 
     ``layout`` names Φ's row order: ``"compact"`` (the referenced ACC
     rows of :func:`markov_materialize_features`) or ``"canonical"`` (the
-    g-layout rows of :func:`markov_materialize_features_longT`)."""
+    g-layout rows of :func:`markov_materialize_features_longT`).
+
+    ``phi`` may be a :class:`PhiQuant`: the kernel then streams the
+    int16 payload (half the HBM bytes) with the per-row scales folded
+    into the score weights and un-folded from the stats GEMM output —
+    see :class:`PhiQuant` for the exactness argument."""
+    phi_scale = None
+    if isinstance(phi, PhiQuant):
+        phi, phi_scale = phi.q, phi.scale
     Fc_pad, pos = _feature_layout(T, d, l, layout)
     Fp, n_pad = phi.shape
     assert Fp == Fc_pad, (Fp, Fc_pad)
@@ -1378,6 +1434,8 @@ def markov_em_from_features(
     assert n_pad % block_n == 0, (n_pad, block_n)
     pos_j = jnp.asarray(pos)
     wc = jnp.zeros((C, Fc_pad), Wg.dtype).at[:, pos_j].add(Wg)
+    if phi_scale is not None:
+        wc = wc * phi_scale[None, :].astype(wc.dtype)
     if n_pad > n:
         prev_assign = jnp.concatenate(
             [prev_assign, jnp.full((n_pad - n,), -1, jnp.int32)]
@@ -1411,6 +1469,8 @@ def markov_em_from_features(
         wc,
     )
     g = macc[pos_j, :]
+    if phi_scale is not None:
+        g = g * jnp.take(phi_scale, pos_j)[:, None].astype(g.dtype)
     return a_out[0, :n], c_out[0], w_out[0, 0], g, o_out[0, 0]
 
 
@@ -1507,7 +1567,13 @@ def markov_em_from_features_multi(
     :func:`markov_em_fused_packed_multi` contract driven from Φ: the
     per-iteration shift-product build disappears entirely and both GEMMs
     contract over the compact rows (about half of Facc), so a pool
-    multi-iteration costs roughly the Φ read plus the C·R-row GEMMs."""
+    multi-iteration costs roughly the Φ read plus the C·R-row GEMMs.
+    ``phi`` may be a :class:`PhiQuant` (int16 payload; scales folded
+    into the weights / un-folded from the stats — see the single-restart
+    wrapper)."""
+    phi_scale = None
+    if isinstance(phi, PhiQuant):
+        phi, phi_scale = phi.q, phi.scale
     Fc_pad, pos = _feature_layout(T, d, l, layout)
     Fp, n_pad = phi.shape
     assert Fp == Fc_pad, (Fp, Fc_pad)
@@ -1536,6 +1602,8 @@ def markov_em_from_features_multi(
     # row c·R + r  ←  Wg[r, c]
     w_cr = jnp.transpose(Wg, (1, 0, 2)).reshape(C * R, F)
     wc = jnp.zeros((C * R, Fc_pad), Wg.dtype).at[:, pos_j].add(w_cr)
+    if phi_scale is not None:
+        wc = wc * phi_scale[None, :].astype(wc.dtype)
     if n_pad > n:
         prev_assign = jnp.concatenate(
             [prev_assign, jnp.full((R, n_pad - n), -1, jnp.int32)], axis=1
@@ -1573,7 +1641,12 @@ def markov_em_from_features_multi(
         wc,
     )
     # column c·R + r  →  (R, F, C) / (R, C)
-    g = macc[pos_j, :].reshape(F, C, R).transpose(2, 0, 1)
+    g_rows = macc[pos_j, :]
+    if phi_scale is not None:
+        g_rows = g_rows * jnp.take(phi_scale, pos_j)[:, None].astype(
+            g_rows.dtype
+        )
+    g = g_rows.reshape(F, C, R).transpose(2, 0, 1)
     counts = c_out[0].reshape(C, R).T
     return a_out[:, :n], counts, w_out[0], g, o_out[0]
 
