@@ -16,7 +16,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["KNNRegressor", "knn_predict", "grid_search_knn"]
+__all__ = [
+    "KNNRegressor",
+    "knn_predict",
+    "knn_predict_streaming",
+    "grid_search_knn",
+]
+
+# past this many training rows the dense (B, m) distance tile is replaced by
+# a streaming scan over train blocks with a running top-k merge
+_STREAM_TRAIN_THRESHOLD = 32_768
 
 
 @functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
@@ -54,6 +63,84 @@ def knn_predict(
     qp = jnp.concatenate([query, jnp.zeros((pad, query.shape[1]), query.dtype)])
     blocks = qp.reshape(-1, query_chunk, query.shape[1])
     out = jax.lax.map(chunk_pred, blocks)
+    return out.reshape(-1, train_y.shape[1])[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "query_chunk", "train_chunk")
+)
+def knn_predict_streaming(
+    train_x: jax.Array,
+    train_y: jax.Array,
+    query: jax.Array,
+    *,
+    k: int,
+    query_chunk: int = 1024,
+    train_chunk: int = 8192,
+) -> jax.Array:
+    """:func:`knn_predict` at train-set sizes where a (B, m) distance tile
+    does not fit: ``lax.scan`` over train blocks carrying a running top-k.
+
+    Per query chunk the live state is the (B, train_chunk) block distances
+    plus the (B, k) best-so-far heap — memory O(B·(k + train_chunk))
+    independent of m, so n_train scales to millions of rows (SURVEY §7
+    step 6; the reference's sklearn path materializes (B, m),
+    framework_extended/state_space_model_knn.py:61-97).  Each block's
+    candidates are merged with the carry via one concatenated ``top_k``;
+    ties on exact-equal distances resolve to the lower train index, same as
+    the dense kernel, because earlier blocks precede later ones in the
+    concatenation and ``top_k`` is stable.
+    """
+    m, dim = train_x.shape
+    k = min(k, m)
+    kb = min(k, train_chunk)
+    pad_m = (-m) % train_chunk
+    xp = jnp.concatenate(
+        [train_x, jnp.zeros((pad_m, dim), train_x.dtype)]
+    )
+    x_sq = jnp.sum(xp * xp, axis=1)
+    valid = jnp.arange(m + pad_m) < m
+    blocks_x = xp.reshape(-1, train_chunk, dim)
+    blocks_sq = x_sq.reshape(-1, train_chunk)
+    blocks_valid = valid.reshape(-1, train_chunk)
+    base_idx = jnp.arange(0, m + pad_m, train_chunk, dtype=jnp.int32)
+
+    def chunk_pred(q):
+        bsz = q.shape[0]
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+
+        def body(carry, blk):
+            best_neg, best_idx = carry
+            bx, bsq, bval, b0 = blk
+            d2 = q_sq - 2.0 * q @ bx.T + bsq[None, :]
+            neg = jnp.where(bval[None, :], -d2, -jnp.inf)
+            vals, idx = jax.lax.top_k(neg, kb)
+            cat_vals = jnp.concatenate([best_neg, vals], axis=1)
+            cat_idx = jnp.concatenate(
+                [best_idx, (idx + b0).astype(jnp.int32)], axis=1
+            )
+            nv, sel = jax.lax.top_k(cat_vals, k)
+            ni = jnp.take_along_axis(cat_idx, sel, axis=1)
+            return (nv, ni), None
+
+        init = (
+            jnp.full((bsz, k), -jnp.inf, q.dtype),
+            jnp.zeros((bsz, k), jnp.int32),
+        )
+        (_, idx), _ = jax.lax.scan(
+            body, init, (blocks_x, blocks_sq, blocks_valid, base_idx)
+        )
+        return jnp.mean(train_y[idx], axis=1)
+
+    n = query.shape[0]
+    if n <= query_chunk:
+        return chunk_pred(query)
+    pad = (-n) % query_chunk
+    qp = jnp.concatenate(
+        [query, jnp.zeros((pad, query.shape[1]), query.dtype)]
+    )
+    q_blocks = qp.reshape(-1, query_chunk, query.shape[1])
+    out = jax.lax.map(chunk_pred, q_blocks)
     return out.reshape(-1, train_y.shape[1])[:n]
 
 
