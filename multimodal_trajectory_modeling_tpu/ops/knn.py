@@ -89,7 +89,10 @@ def knn_predict_streaming(
     candidates are merged with the carry via one concatenated ``top_k``;
     ties on exact-equal distances resolve to the lower train index, same as
     the dense kernel, because earlier blocks precede later ones in the
-    concatenation and ``top_k`` is stable.
+    concatenation and observed ``lax.top_k`` behavior keeps the first of
+    equal values (this is not a formal cross-backend contract, so the
+    dense≡streaming tie equivalence is locked in by the parity tests in
+    ``tests/test_knn.py`` rather than assumed).
     """
     m, dim = train_x.shape
     k = min(k, m)
@@ -206,8 +209,13 @@ class KNNRegressor:
         X = np.atleast_2d(np.asarray(X, dtype=float))
         if self._x.shape[0] * X.shape[0] < _DEVICE_WORK_THRESHOLD:
             return _knn_predict_np(self._x, self._y, X, self.n_neighbors)
+        kernel = (
+            knn_predict_streaming
+            if self._x.shape[0] > _STREAM_TRAIN_THRESHOLD
+            else knn_predict
+        )
         out = np.asarray(
-            knn_predict(
+            kernel(
                 jnp.asarray(self._x),
                 jnp.asarray(self._y),
                 jnp.asarray(X),
@@ -266,8 +274,13 @@ def grid_search_knn(
             for ki, k in enumerate(k_grid):
                 scores[ki, f] = -float(np.mean((preds[k] - va_y) ** 2))
         else:
+            kernel = (
+                knn_predict_streaming
+                if tr_x.shape[0] > _STREAM_TRAIN_THRESHOLD
+                else knn_predict
+            )
             for ki, k in enumerate(k_grid):
-                pred = knn_predict(tr_x, tr_y, va_x, k=k)
+                pred = kernel(tr_x, tr_y, va_x, k=k)
                 scores[ki, f] = -float(jnp.mean((pred - va_y) ** 2))
     mean_scores = scores.mean(axis=1)
     return int(k_grid[int(np.argmax(mean_scores))])

@@ -46,6 +46,7 @@ __all__ = [
     "markov_materialize_features",
     "markov_packed_spec",
     "pack_markov_u",
+    "phi_scale_from_absmax",
     "quantize_phi",
 ]
 
@@ -75,14 +76,25 @@ class PhiQuant(NamedTuple):
     scale: jax.Array  # (Fc_pad,) compute dtype
 
 
+def phi_scale_from_absmax(amax: jax.Array, dtype) -> jax.Array:
+    """Per-row quantization scale from per-row max |Φ|.  Split out so
+    data-parallel shards can ``lax.pmax`` their local absmax first and
+    quantize with the GLOBAL scale — making sharded i16 storage
+    bit-identical to the single-device :func:`quantize_phi`."""
+    scale = jnp.where(amax > 0.0, amax, 1.0) * (1.0 / 32766.0)
+    return scale.astype(dtype)
+
+
 @jax.jit
-def quantize_phi(phi: jax.Array) -> PhiQuant:
+def quantize_phi(phi: jax.Array, scale: jax.Array | None = None) -> PhiQuant:
     """Quantize a materialized Φ (rows = features, lanes = instances)
     to :class:`PhiQuant`.  One elementwise pass (once per fit — the EM
     loop then streams half the bytes every iteration).  All-zero rows
-    (layout padding) get scale 1 so the reconstruction stays exact."""
-    amax = jnp.max(jnp.abs(phi), axis=1)
-    scale = jnp.where(amax > 0.0, amax, 1.0) * (1.0 / 32766.0)
+    (layout padding) get scale 1 so the reconstruction stays exact.
+    Pass ``scale`` to override the per-row scales (shard_map callers use
+    :func:`phi_scale_from_absmax` on a pmax-ed absmax)."""
+    if scale is None:
+        scale = phi_scale_from_absmax(jnp.max(jnp.abs(phi), axis=1), phi.dtype)
     q = jnp.round(phi * (1.0 / scale)[:, None]).astype(jnp.int16)
     return PhiQuant(q, scale.astype(phi.dtype))
 

@@ -407,8 +407,37 @@ def _packed_ok(T, d, l):
     return T * 8 * ((d + l + 7) // 8) <= 512
 
 
+def _resolve_phi_store_str(dtype):
+    """:func:`..models.em._resolve_phi_store`, normalized to the
+    hashable ``"i16" | "bf16" | None`` the jitted shard_map impls take
+    as a static argument.  HOST-level only (reads the environment)."""
+    from multimodal_trajectory_modeling_tpu.models.em import (
+        _resolve_phi_store,
+    )
+
+    store = _resolve_phi_store(dtype)
+    if store is None or store == "i16":
+        return store
+    return "bf16"
+
+
+def _quantize_phi_global(phi, axis):
+    """Quantize a per-shard Φ slice with scales pmax-ed over the data
+    axis — every shard uses the GLOBAL per-row max, so the stored int16
+    payload is bit-identical to a single-device
+    :func:`..ops.pallas_markov.quantize_phi` of the full Φ."""
+    from multimodal_trajectory_modeling_tpu.ops import pallas_markov
+
+    amax = jnp.max(jnp.abs(phi), axis=1)
+    if axis is not None:
+        amax = jax.lax.pmax(amax, axis)
+    scale = pallas_markov.phi_scale_from_absmax(amax, phi.dtype)
+    return pallas_markov.quantize_phi(phi, scale)
+
+
 def _local_markov_route(
-    z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret, precompute=None
+    z_tp, x_tp, lens_l, *, T, d, l, dtype, interpret, precompute=None,
+    phi_store=None, axis=None,
 ):
     """Per-shard Markov kernel routing for the shard_map trainers:
     returns ``(u, phi, layout)``.
@@ -420,7 +449,15 @@ def _local_markov_route(
     - long T: canonical-layout Φ from the grid-over-T materializer —
       the ONLY route (the packed kernel's ACC build exceeds VMEM), so
       the env opt-out does not apply and the (T·s, n) packed batch is
-      never built."""
+      never built.
+
+    ``phi_store`` (resolved by the HOST-level wrappers from
+    ``MTM_MARKOV_PHI`` — a jitted body must never read the env) selects
+    Φ storage exactly as in :func:`..models.em._markov_features`:
+    ``"i16"`` quantizes per shard with GLOBAL (pmax over ``axis``)
+    per-row scales so sharded storage ≡ single-device storage bit-for-
+    bit; ``"bf16"`` narrows the materialized store; ``None`` keeps the
+    compute dtype (wide)."""
     import os as _os
 
     from multimodal_trajectory_modeling_tpu.ops import pallas_markov
@@ -430,16 +467,24 @@ def _local_markov_route(
         # BEFORE tracing and pass an explicit bool (the trainers below
         # thread it through as a static argument)
         precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
+    quantize = phi_store == "i16"
+    store = jnp.bfloat16 if phi_store == "bf16" else None
     if not _packed_ok(T, d, l):
         phi = pallas_markov.markov_materialize_features_longT(
-            z_tp, x_tp, lens_l, T=T, d=d, l=l, interpret=interpret
+            z_tp, x_tp, lens_l, T=T, d=d, l=l, store_dtype=store,
+            interpret=interpret,
         )
+        if quantize:
+            phi = _quantize_phi_global(phi, axis)
         return None, phi, "canonical"
     u = pallas_markov.pack_markov_u(z_tp, x_tp, T=T, d=d, l=l)
     if precompute:
         phi = pallas_markov.markov_materialize_features(
-            u, lens_l, T=T, d=d, l=l, dtype=dtype, interpret=interpret
+            u, lens_l, T=T, d=d, l=l, dtype=dtype, store_dtype=store,
+            interpret=interpret,
         )
+        if quantize:
+            phi = _quantize_phi_global(phi, axis)
         return u, phi, "compact"
     return u, None, "compact"
 
@@ -458,8 +503,9 @@ def train_em_markov_shardmap(
     min_members: int = 3,
 ):
     """Data-parallel fused O(T) Markov EM — thin wrapper that resolves
-    ``MTM_MARKOV_PRECOMP`` at call time (never inside the trace) and
-    forwards to the jitted impl with it as a static argument."""
+    ``MTM_MARKOV_PRECOMP`` / ``MTM_MARKOV_PHI`` at call time (never
+    inside the trace) and forwards to the jitted impl with them as
+    static arguments."""
     import os as _os
 
     precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
@@ -475,6 +521,7 @@ def train_em_markov_shardmap(
         alpha=alpha,
         min_members=min_members,
         precompute=precompute,
+        phi_store=_resolve_phi_store_str(z.dtype),
     )
 
 
@@ -487,6 +534,7 @@ def train_em_markov_shardmap(
         "alpha",
         "min_members",
         "precompute",
+        "phi_store",
     ),
 )
 def _train_em_markov_shardmap_impl(
@@ -502,6 +550,7 @@ def _train_em_markov_shardmap_impl(
     alpha: float = 0.0,
     min_members: int = 3,
     precompute: bool = True,
+    phi_store: str | None = None,
 ):
     """Data-parallel fused O(T) Markov EM (suffix missingness) inside
     ``shard_map``: each shard runs ONE fused kernel pass per iteration
@@ -543,6 +592,7 @@ def _train_em_markov_shardmap_impl(
         u_l, phi_l, layout = _local_markov_route(
             z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
             interpret=interpret, precompute=precompute,
+            phi_store=phi_store, axis=axis,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
@@ -809,8 +859,9 @@ def train_em_markov_multi_shardmap(
     min_members: int = 3,
 ):
     """Data-parallel fused-multistart Markov EM — thin wrapper that
-    resolves ``MTM_MARKOV_PRECOMP`` at call time (never inside the
-    trace) and forwards to the jitted impl with it static."""
+    resolves ``MTM_MARKOV_PRECOMP`` / ``MTM_MARKOV_PHI`` at call time
+    (never inside the trace) and forwards to the jitted impl with them
+    static."""
     import os as _os
 
     precompute = _os.environ.get("MTM_MARKOV_PRECOMP", "1") == "1"
@@ -826,6 +877,7 @@ def train_em_markov_multi_shardmap(
         alpha=alpha,
         min_members=min_members,
         precompute=precompute,
+        phi_store=_resolve_phi_store_str(z.dtype),
     )
 
 
@@ -838,6 +890,7 @@ def train_em_markov_multi_shardmap(
         "alpha",
         "min_members",
         "precompute",
+        "phi_store",
     ),
 )
 def _train_em_markov_multi_shardmap_impl(
@@ -853,6 +906,7 @@ def _train_em_markov_multi_shardmap_impl(
     alpha: float = 0.0,
     min_members: int = 3,
     precompute: bool = True,
+    phi_store: str | None = None,
 ):
     """Data-parallel FUSED-MULTISTART Markov EM: every device holds all R
     restart parameter rows (tiny) and its own trajectory shard; each
@@ -901,6 +955,7 @@ def _train_em_markov_multi_shardmap_impl(
         u_l, phi_l, layout = _local_markov_route(
             z_tp, x_tp, lens_l, T=T, d=d, l=l, dtype=z_l.dtype,
             interpret=interpret, precompute=precompute,
+            phi_store=phi_store, axis=axis,
         )
         n_total = jax.lax.psum(jnp.asarray(n_l, z_l.dtype), axis)
 
@@ -1161,7 +1216,13 @@ def _pool_window_shardmap(
         )
 
     param_spec = jax.tree.map(lambda _: P(), params)
-    phi_spec = None if phi is None else P(None, "data")
+    if phi is None:
+        phi_spec = None
+    elif isinstance(phi, pallas_markov.PhiQuant):
+        # int16 payload lane-sharded; per-row scales replicated
+        phi_spec = pallas_markov.PhiQuant(P(None, "data"), P())
+    else:
+        phi_spec = P(None, "data")
     u_spec = None if u is None else P(None, "data")
     return jax.shard_map(
         shard_fn,
@@ -1227,6 +1288,8 @@ def pool_window_for_mesh(
     # canonical grid materialization; the packed batch is never built.
     phi = None
     phi_layout = "compact"
+    phi_store = _resolve_phi_store_str(z.dtype)
+    store = jnp.bfloat16 if phi_store == "bf16" else None
     if not _packed_ok(T, d, l):
 
         def _pad_lanes(a_t):
@@ -1239,7 +1302,8 @@ def pool_window_for_mesh(
         x_tp = _pad_lanes(jnp.transpose(x, (0, 2, 1)).reshape(T * l, n))
         phi = jax.shard_map(
             lambda zl, xl, ll: pallas_markov.markov_materialize_features_longT(
-                zl, xl, ll, T=T, d=d, l=l, interpret=interpret
+                zl, xl, ll, T=T, d=d, l=l, store_dtype=store,
+                interpret=interpret
             ),
             mesh=mesh,
             in_specs=(P(None, "data"), P(None, "data"), P("data")),
@@ -1274,6 +1338,7 @@ def pool_window_for_mesh(
                     d=d,
                     l=l,
                     dtype=u.dtype,
+                    store_dtype=store,
                     interpret=interpret,
                 ),
                 mesh=mesh,
@@ -1281,6 +1346,11 @@ def pool_window_for_mesh(
                 out_specs=P(None, "data"),
                 check_vma=False,
             )(u, lens_pad)
+    if phi is not None and phi_store == "i16":
+        # quantize the GLOBAL Φ at host level (scales over all lanes ⇒
+        # storage bit-identical to the single-device pool); the int16
+        # payload stays lane-sharded through the window's phi_spec
+        phi = pallas_markov.quantize_phi(phi)
 
     def window(stack, assigns, status, iters, force):
         return _pool_window_shardmap(

@@ -569,6 +569,108 @@ def test_markov_shardmap_phi_routing_is_exact_noop(problem, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_markov_shardmap_i16_matches_single_device(problem, monkeypatch):
+    """MTM_MARKOV_PHI=i16: the shard_map trainer quantizes each shard's
+    Φ slice with GLOBAL (pmax-ed) per-row scales, so the stored int16
+    payload — and hence the whole trajectory — must equal the
+    single-device i16 trainer exactly on the f64 mesh."""
+    from jax.sharding import Mesh
+
+    z = np.asarray(problem["z"])
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    args = (
+        problem["params0"],
+        problem["assign0"].astype(jnp.int32),
+        problem["z"],
+        problem["x"],
+        lens,
+    )
+    monkeypatch.setenv("MTM_MARKOV_PHI", "i16")
+    ref = em.train_em_markov(*args, n_steps=60)
+    got = sharded_em.train_em_markov_shardmap(*args, mesh=mesh, n_steps=60)
+    assert int(got[3]) == int(ref[3])
+    assert int(got[2]) == int(ref[2])
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-8
+        )
+    # and i16 is really on: the wide-mode result differs in the params
+    monkeypatch.setenv("MTM_MARKOV_PHI", "wide")
+    wide = sharded_em.train_em_markov_shardmap(*args, mesh=mesh, n_steps=60)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(got[0]), jax.tree.leaves(wide[0]))
+    )
+
+
+def test_markov_pool_shardmap_i16_matches_unsharded(problem, monkeypatch):
+    """MTM_MARKOV_PHI=i16 through the mesh-mode slot pool: the globally
+    quantized Φ (host-level, scales over all lanes) rides the window's
+    PhiQuant spec; every candidate must match the single-device i16
+    pool exactly."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(37)
+    C = 3
+    z = np.asarray(problem["z"])
+    d, l = z.shape[-1], np.asarray(problem["x"]).shape[-1]
+    n = z.shape[1]
+    lens = jnp.asarray(
+        np.isfinite(z).all(axis=2).sum(axis=0).astype(np.int32)
+    )
+
+    def one_params():
+        return em.MixtureParams(
+            pi=jnp.ones(C) / C,
+            m=jnp.asarray(rng.normal(size=(C, d))),
+            S=jnp.asarray(np.stack([np.eye(d)] * C)),
+            A=jnp.asarray(rng.normal(scale=0.3, size=(C, d, d))),
+            G=jnp.asarray(np.stack([np.eye(d)] * C)),
+            H=jnp.asarray(rng.normal(size=(C, d, l))),
+            L=jnp.asarray(np.stack([np.eye(l)] * C)),
+        )
+
+    n_cand = 5
+    params_list = [one_params() for _ in range(n_cand)]
+    assign_list = [
+        rng.integers(0, C, size=n).astype(np.int32) for _ in range(n_cand)
+    ]
+    kw = dict(R=3, n_steps=6, sync_every=2)
+    monkeypatch.setenv("MTM_MARKOV_PHI", "i16")
+    ref = em.train_em_markov_pool(
+        params_list, assign_list, problem["z"], problem["x"], lens, **kw
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    got = em.train_em_markov_pool(
+        params_list,
+        assign_list,
+        problem["z"],
+        problem["x"],
+        lens,
+        mesh=mesh,
+        **kw,
+    )
+    for i, ((pw, aw, iw, sw), (pg, ag, ig, sg)) in enumerate(zip(ref, got)):
+        assert (int(sw), int(iw)) == (int(sg), int(ig)), i
+        np.testing.assert_array_equal(
+            np.asarray(aw), np.asarray(ag), err_msg=f"cand {i}"
+        )
+        for lw, lg in zip(
+            jax.tree_util.tree_leaves(pw), jax.tree_util.tree_leaves(pg)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lg),
+                np.asarray(lw),
+                rtol=1e-12,
+                atol=1e-13,
+                err_msg=f"cand {i}",
+            )
+
+
 def _longT_problem(seed, C=2, T=80, n=160, d=3, l=2):
     rng = np.random.default_rng(seed)
     z = rng.normal(size=(T, n, d))
