@@ -41,7 +41,7 @@ if __name__ == "__main__":
     _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.exit(
         subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *["tests/test_statespace_api.py"],],
+            [sys.executable, "-m", "pytest", "-q", *["tests/test_statespace_api.py"], *sys.argv[1:]],
             cwd=_root,
         )
     )

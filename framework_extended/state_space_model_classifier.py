@@ -22,7 +22,7 @@ if __name__ == "__main__":
     _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.exit(
         subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *["tests/test_extended_framework.py", "-k", "classifier"],],
+            [sys.executable, "-m", "pytest", "-q", *["tests/test_extended_framework.py", "-k", "classifier"], *sys.argv[1:]],
             cwd=_root,
         )
     )

@@ -23,7 +23,7 @@ if __name__ == "__main__":
     _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.exit(
         subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *["tests/test_extended_framework.py", "-k", "generic_mixture or parallel_restarts"],],
+            [sys.executable, "-m", "pytest", "-q", *["tests/test_extended_framework.py", "-k", "generic_mixture or parallel_restarts"], *sys.argv[1:]],
             cwd=_root,
         )
     )

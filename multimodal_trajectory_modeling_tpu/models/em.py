@@ -2061,18 +2061,43 @@ def train_em_markov_outofcore(
         del phi_dev
 
     n_total = jnp.asarray(n, dtype)
+    n_chunks = len(bounds)
+
+    def _ship(i, prev_chunks):
+        """Issue chunk i's host→device transfers (async — device_put
+        returns immediately; the copies ride the DMA engine while the
+        previous chunk's kernel computes)."""
+        s, e = bounds[i]
+        return (
+            jax.device_put(phi_chunks[i]),
+            jax.device_put(lens_np[s:e]),
+            jax.device_put(np.asarray(prev_chunks[i], np.int32)),
+        )
 
     def _pass(params, prev_chunks, mode):
+        """One full EM pass over the chunks, software-pipelined: chunk
+        i+1's H2D transfer is issued before chunk i's outputs are
+        awaited, so per iteration the wall cost tends to
+        max(transfer, compute) instead of their sum.  Device residency
+        stays bounded at the DOUBLE buffer (two Φ chunks): the blocking
+        assignment pull of chunk i−1 is the flow control.  Statistics
+        accumulate on device in chunk order — the same summation order
+        as the sequential form, so results are bit-identical."""
         Wg = _ooc_weights(params)
         g_tot = None
         counts_tot = None
-        switches_tot = 0
-        new_chunks = []
-        for (s, e), phi_c, prev_c in zip(bounds, phi_chunks, prev_chunks):
+        sw_tot = None
+        assign_pending = [None] * n_chunks
+        new_chunks = [None] * n_chunks
+        shipped = _ship(0, prev_chunks)
+        for i in range(n_chunks):
+            phi_c, lens_c, prev_c = shipped
+            if i + 1 < n_chunks:
+                shipped = _ship(i + 1, prev_chunks)
             a, c, sw, g, _obj = _ooc_chunk_step(
                 phi_c,
-                jnp.asarray(lens_np[s:e]),
-                jnp.asarray(prev_c),
+                lens_c,
+                prev_c,
                 Wg,
                 T=T,
                 d=d,
@@ -2081,11 +2106,18 @@ def train_em_markov_outofcore(
                 layout=layout,
                 interpret=interpret,
             )
-            new_chunks.append(np.asarray(a, np.int32))
+            del phi_c, lens_c, prev_c  # freed once the kernel consumes them
+            assign_pending[i] = a
             g_tot = g if g_tot is None else g_tot + g
             counts_tot = c if counts_tot is None else counts_tot + c
-            switches_tot += int(sw)
-        return new_chunks, counts_tot, switches_tot, g_tot
+            sw_tot = sw if sw_tot is None else sw_tot + sw
+            if i >= 1:
+                new_chunks[i - 1] = np.asarray(
+                    assign_pending[i - 1], np.int32
+                )
+                assign_pending[i - 1] = None
+        new_chunks[n_chunks - 1] = np.asarray(assign_pending[-1], np.int32)
+        return new_chunks, counts_tot, int(np.asarray(sw_tot)), g_tot
 
     counts0 = np.bincount(assign0_np, minlength=C)
     if counts0.min() <= min_members:

@@ -406,6 +406,61 @@ def _masked_gauss_update(mu, P, e_raw, Sig_raw, PM_raw, o, q, d):
     return mu_c, P_c, ll_delta
 
 
+def _seq_z_conditioning(mu, P, z_t, oz_t, d: int):
+    """Condition the state ``(mu, P)`` on the OBSERVED z coordinates by
+    sequential scalar conditioning — one coordinate at a time, exact
+    chain rule ``p(z_{o1}) · p(z_{o2} | z_{o1}) · …`` on the running
+    moments.  Because each observed coordinate is a NOISELESS scalar
+    observation of the state itself, the per-coordinate update needs no
+    Cholesky and no triangular solves:
+
+        s   = P[a][a]            (predictive variance of z_a)
+        k_i = P[i][a] / s        (scalar gain column)
+        μ  += k · (z_a − μ_a);   P −= k kᵀ s   (rank-1 downdate)
+        ll += −½ (log s + e²/s + log 2π)       (if observed)
+
+    — ~200 lane-ops at d=5 vs ~315 for the joint masked-Cholesky form
+    (:func:`_masked_gauss_update` with q=d), identical in exact
+    arithmetic (the joint form's L factor IS this recursion).
+
+    Masking/robustness: gains and innovations are ``where``-selected to
+    exact 0 on unobserved coordinates (an unobserved coordinate's update
+    is a structural no-op), and the P row is pre-selected so an
+    overflowed (inf) state entry on a masked lane cannot poison the
+    finite prefix via ``0 · inf`` (same contract as
+    :func:`masked_filter_step`).  ``P`` may be lower-aliased; the
+    returned ``P_c`` is lower-aliased.  Returns ``(mu_c, P_c, ll_z)``.
+    """
+    ll = None
+    mu = list(mu)
+    P = [[P[i][j] for j in range(d)] for i in range(d)]
+    for a in range(d):
+        o = oz_t[a]
+        obs = o > 0
+        pa = [
+            jnp.where(obs, P[a][j], jnp.zeros_like(P[a][j]))
+            for j in range(d)
+        ]
+        s = P[a][a]
+        ri = jax.lax.rsqrt(s)  # division-free reciprocal (cf. _list_chol)
+        inv = jnp.where(obs, ri * ri, jnp.zeros_like(s))
+        e = jnp.where(obs, z_t[a] - mu[a], jnp.zeros_like(s))
+        g = e * inv
+        term = jnp.where(
+            obs, jnp.log(s) + e * g + _LOG_2PI, jnp.zeros_like(s)
+        )
+        ll = term if ll is None else ll + term
+        k = [pa[i] * inv for i in range(d)]
+        for i in range(d):
+            mu[i] = mu[i] + k[i] * e
+        for i in range(d):
+            for j in range(i + 1):
+                v = P[i][j] - k[i] * pa[j]
+                P[i][j] = v
+                P[j][i] = v
+    return mu, P, -0.5 * ll
+
+
 def masked_filter_step_split(
     mu, P, z_t, x_t, oz_t, ox_t, Hs, As, Gs, Ls, d: int, l: int
 ):
@@ -415,21 +470,24 @@ def masked_filter_step_split(
     Exact chain-rule factorization of the same per-step density:
     ``p(z_obs, x_obs | past) = p(z_obs | past) · p(x_obs | z_obs,
     past)`` — first condition the state on the observed z coordinates
-    (a noiseless partial observation of the state itself: innovation
-    covariance = masked P, cross-covariance = masked P), then update on
-    the observed x coordinates against the CONDITIONED moments
-    (innovation covariance = masked HᵀP_cH + Λ).  Block-Cholesky
-    identity: the combined form's D×D factorization factors the z-block
-    first and the x-block against its Schur complement, so logdet/quad
-    split exactly into these two masked sub-problems.
+    (sequential scalar conditioning, :func:`_seq_z_conditioning` — the
+    z block's observation map is the identity, so no factorization is
+    needed at all), then update on the observed x coordinates against
+    the CONDITIONED moments (innovation covariance = masked HᵀP_cH + Λ,
+    jointly via chol(ℓ) — the x noise Λ is correlated, so the x block
+    keeps the masked-Cholesky form).  Block-Cholesky identity: the
+    combined form's D×D factorization factors the z-block first and the
+    x-block against its Schur complement, so logdet/quad split exactly
+    into these two masked sub-problems.
 
     Same masking/robustness semantics as the combined step
-    (``where``-selects, unit dummies, observed-coord 2π count) at ~1.6×
-    fewer lane ops: chol(d)+chol(ℓ) replaces chol(d+ℓ), the factored
-    U-form eliminates all backward solves, every covariance update
-    touches the lower triangle only, and the predict step exploits
-    symmetry (no 0.5·(X+Xᵀ) resymmetrization — P stays exactly
-    symmetric by aliasing).
+    (``where``-selects, unit dummies on the x block, observed-coord 2π
+    count) at ~2× fewer lane ops: the z block costs rank-1 downdates
+    instead of chol(d) + d triangular solves, the factored U-form
+    eliminates all backward solves, every covariance update touches the
+    lower triangle only, and the predict step exploits symmetry (no
+    0.5·(X+Xᵀ) resymmetrization — P stays exactly symmetric by
+    aliasing).
 
     ``P`` may be lower-aliased (see :func:`_tri_unpack`); ``P_next`` is
     returned lower-aliased.  Reference semantics: the dense
@@ -437,8 +495,7 @@ def masked_filter_step_split(
     marginalizable_state_space_model.py:741-773.
     """
     # phase 1: condition on observed z (observation map = identity)
-    ez = [z_t[a] - mu[a] for a in range(d)]
-    mu_c, P_c, ll_z = _masked_gauss_update(mu, P, ez, P, P, oz_t, d, d)
+    mu_c, P_c, ll_z = _seq_z_conditioning(mu, P, z_t, oz_t, d)
 
     # phase 2: update on observed x against the conditioned moments
     PH = [

@@ -150,12 +150,29 @@ def _pick_block_cols(d: int, l: int, C: int, itemsize: int, Tc: int) -> int:
     return min(1024, bn)
 
 
+def _pick_t_chunk(T: int, cap: int = 16) -> int:
+    """Smallest-waste time chunk: a padded time step costs the FULL
+    step algebra on all-NaN data (masked no-op, ~800 lane-ops), so
+    ``Tc = 8`` at the headline ``T = 10`` silently burned 6/16 of the
+    kernel (measured 1.55× on v5e).  Pick the ``Tc ≤ cap`` minimizing
+    ``ceil(T/Tc)·Tc − T``, tie-breaking toward larger chunks (fewer
+    grid steps).  Compile time is Tc-independent (the step body is one
+    ``fori_loop`` instance)."""
+    T = max(int(T), 1)
+    best, best_waste = 1, T  # Tc = 1 always has zero waste; seed worse
+    for tc in range(1, min(cap, T) + 1):
+        waste = (-T) % tc
+        if waste < best_waste or (waste == best_waste and tc > best):
+            best, best_waste = tc, waste
+    return best
+
+
 def pack_masked_kalman(
     z: jax.Array,  # (T, n, d) with arbitrary per-coordinate NaNs
     x: jax.Array,  # (T, n, l)
     n_clusters: int,
     *,
-    t_chunk: int = 8,
+    t_chunk: int | None = None,
     block_cols: int | None = None,
 ) -> tuple[jax.Array, jax.Array, int, int]:
     """Lay the batch out for the grid kernel ONCE: ``(z4, x4, Tc, bn)``
@@ -163,12 +180,13 @@ def pack_masked_kalman(
     trainers call this before their ``while_loop`` so the per-iteration
     kernel dispatch is pad-free (a per-call pad copies the whole batch
     every iteration — the lesson of :func:`.pallas_markov.pack_markov_u`).
-    Shape-only logic: safe to call under ``jit`` (``Tc``/``bn`` are
-    Python ints)."""
+    ``t_chunk=None`` auto-picks the minimum-padding chunk
+    (:func:`_pick_t_chunk`).  Shape-only logic: safe to call under
+    ``jit`` (``Tc``/``bn`` are Python ints)."""
     T, n, d = z.shape
     l = x.shape[-1]
     dtype = z.dtype
-    Tc = min(t_chunk, max(T, 1))
+    Tc = _pick_t_chunk(T) if t_chunk is None else min(t_chunk, max(T, 1))
     bn = block_cols or _pick_block_cols(d, l, n_clusters, dtype.itemsize, Tc)
     n_block = 8 * bn
     n_pad = -(-n // n_block) * n_block
@@ -259,7 +277,7 @@ def kalman_masked_logliks_pallas(
     H: jax.Array,  # (C, d, l)
     L: jax.Array,  # (C, l, l)
     *,
-    t_chunk: int = 8,
+    t_chunk: int | None = None,
     block_cols: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
