@@ -851,14 +851,16 @@ def emstep_markov_xla(
         params.m, params.S, params.A, params.G, params.H, params.L
     )
     Wg = Wg.at[:, -1].add(jnp.log(params.pi))
-    scores = feats @ Wg.T  # (n, C)
+    with jax.default_matmul_precision("highest"):  # see ops.regression._HI
+        scores = feats @ Wg.T  # (n, C)
     assign = jnp.argmax(scores, axis=1).astype(jnp.int32)
     switches = jnp.sum(assign != prev_assign.astype(jnp.int32))
     onehot = (
         assign[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
     ).astype(z.dtype)
     counts = jnp.sum(onehot, axis=0).astype(jnp.int32)
-    g = feats.T @ onehot  # (F, C)
+    with jax.default_matmul_precision("highest"):
+        g = feats.T @ onehot  # (F, C)
     tstats, mstats, istats = _unpack_markov_em_stats(g, d, l)
     pi = counts.astype(z.dtype) / n
     m0, S0 = rops.mean_cov_from_stats(istats)

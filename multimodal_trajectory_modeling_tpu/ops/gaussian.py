@@ -40,6 +40,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 __all__ = [
@@ -69,7 +78,8 @@ def _row_logpdf_chol(x_row, finite_row, mean, cov):
     y = jax.scipy.linalg.solve_triangular(Lc, r, lower=True)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc)))
     k = jnp.sum(f)
-    return -0.5 * (k * _LOG_2PI + logdet + y @ y)
+    with jax.default_matmul_precision("highest"):
+        return -0.5 * (k * _LOG_2PI + logdet + y @ y)
 
 
 def _row_logpdf_lu(x_row, finite_row, mean, cov):
@@ -81,7 +91,8 @@ def _row_logpdf_lu(x_row, finite_row, mean, cov):
     covm = masked_identity_pad(cov, f)
     sign, logabsdet = jnp.linalg.slogdet(covm)
     logdet = jnp.where(sign > 0, logabsdet, jnp.nan)
-    q = r @ jnp.linalg.solve(covm, r)
+    with jax.default_matmul_precision("highest"):
+        q = r @ jnp.linalg.solve(covm, r)
     k = jnp.sum(f)
     return -0.5 * (k * _LOG_2PI + logdet + q)
 
@@ -209,7 +220,7 @@ def masked_mvn_logpdf_grouped(
 
         def _chunk(args):
             rc, pc = args
-            return jnp.einsum("nd,nde,ne->n", rc, inv[pc], rc)
+            return jnp.einsum("nd,nde,ne->n", rc, inv[pc], rc, precision=_HI)
 
         q = jax.lax.map(_chunk, (r_c, id_c)).reshape(-1)[:n]
     elif method == "inverse":
@@ -217,7 +228,7 @@ def masked_mvn_logpdf_grouped(
         inv = jax.vmap(
             lambda Lp: jax.scipy.linalg.cho_solve((Lp, True), eye)
         )(Lc)  # (P, D, D)
-        q_all = jnp.einsum("nd,pde,ne->np", r, inv, r)  # MXU GEMMs
+        q_all = jnp.einsum("nd,pde,ne->np", r, inv, r, precision=_HI)  # MXU GEMMs
         q = jnp.take_along_axis(q_all, pattern_id[:, None], axis=1)[:, 0]
     else:
         y_all = jax.vmap(

@@ -61,14 +61,20 @@ def kalman_filter_covs(
     inverses and log-determinants for t = 1..T."""
 
     def step(P, _):
-        Sin = H.T @ P @ H + L  # (l, l) innovation cov
-        Lc = jnp.linalg.cholesky(Sin)
-        Sinv = jax.scipy.linalg.cho_solve((Lc, True), jnp.eye(L.shape[0], dtype=P.dtype))
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(Lc)))
-        K = P @ H @ Sinv  # (d, l)
-        P_post = P - K @ H.T @ P
-        P_next = A.T @ P_post @ A + G
-        P_next = 0.5 * (P_next + P_next.T)
+        # full f32 matmul precision: the covariance recursion compounds
+        # over T and P_post subtracts near-equal terms (see
+        # ops.regression._HI / PARITY.md round-5 finding)
+        with jax.default_matmul_precision("highest"):
+            Sin = H.T @ P @ H + L  # (l, l) innovation cov
+            Lc = jnp.linalg.cholesky(Sin)
+            Sinv = jax.scipy.linalg.cho_solve(
+                (Lc, True), jnp.eye(L.shape[0], dtype=P.dtype)
+            )
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(Lc)))
+            K = P @ H @ Sinv  # (d, l)
+            P_post = P - K @ H.T @ P
+            P_next = A.T @ P_post @ A + G
+            P_next = 0.5 * (P_next + P_next.T)
         return P_next, (K, Sinv, logdet)
 
     _, (K, Sinv, logdet) = jax.lax.scan(step, S, None, length=T)
@@ -118,8 +124,12 @@ def kalman_observed_logliks(
         def step(carry, inp):
             mu, ll = carry  # (n, d), (n,)
             x_t, vm_t, K_t, Sinv_t, logdet_t = inp
-            e = x_t - mu @ Hc  # (n, l) innovation
-            quad = jnp.einsum("nl,lk,nk->n", e, Sinv_t, e)
+            with jax.default_matmul_precision("highest"):
+                e = x_t - mu @ Hc  # (n, l) innovation
+            quad = jnp.einsum(
+                "nl,lk,nk->n", e, Sinv_t, e,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             # mask BEFORE adding: vm_t * quad would be 0*inf = NaN if an
             # expansive closed-loop recursion overflows mu on steps past
             # a short row's lens (the row's true prefix marginal is
@@ -129,13 +139,14 @@ def kalman_observed_logliks(
                 (-0.5) * (l * _LOG_2PI + logdet_t + quad),
                 0.0,
             )
-            mu_post = mu + e @ K_t.T
-            # freeze the state past lens too — stops the post-lens
-            # recursion from overflowing in the first place (the
-            # masked steps contribute nothing either way)
-            mu_next = jnp.where(
-                vm_t[:, None] > 0, mu_post @ Ac, mu
-            )
+            with jax.default_matmul_precision("highest"):
+                mu_post = mu + e @ K_t.T
+                # freeze the state past lens too — stops the post-lens
+                # recursion from overflowing in the first place (the
+                # masked steps contribute nothing either way)
+                mu_next = jnp.where(
+                    vm_t[:, None] > 0, mu_post @ Ac, mu
+                )
             return (mu_next, ll), None
 
         mu0 = jnp.broadcast_to(mc[None, :], (n, mc.shape[0]))

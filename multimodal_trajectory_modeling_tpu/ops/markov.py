@@ -93,12 +93,18 @@ def markov_cluster_weights_grouped(
     Ginv, ldG = _chol_inv_logdet(G)
     Linv, ldL = _chol_inv_logdet(L)
 
-    HLH = jnp.einsum("cda,cab,ceb->cde", H, Linv, H)  # H L⁻¹ Hᵀ (C, d, d)
-    AGA = jnp.einsum("cda,cab,ceb->cde", A, Ginv, A)  # A G⁻¹ Aᵀ
-    AG = jnp.einsum("cda,cab->cdb", A, Ginv)  # A G⁻¹  (z_t index first)
-    HL = jnp.einsum("cda,cab->cdb", H, Linv)  # H L⁻¹  (z index first)
-    Sm = jnp.einsum("cab,cb->ca", Sinv, m)  # S⁻¹ m (C, d)
-    mSm = jnp.einsum("ca,ca->c", m, Sm)
+    # full f32 precision: these products BECOME the E-score coefficients
+    # — bf16-rounded weights put systematic 2⁻⁹ errors on every score
+    # regardless of GEMM precision downstream (PARITY.md round-5)
+    hi = jax.lax.Precision.HIGHEST
+    HLH = jnp.einsum(
+        "cda,cab,ceb->cde", H, Linv, H, precision=hi
+    )  # H L⁻¹ Hᵀ (C, d, d)
+    AGA = jnp.einsum("cda,cab,ceb->cde", A, Ginv, A, precision=hi)
+    AG = jnp.einsum("cda,cab->cdb", A, Ginv, precision=hi)  # A G⁻¹
+    HL = jnp.einsum("cda,cab->cdb", H, Linv, precision=hi)  # H L⁻¹
+    Sm = jnp.einsum("cab,cb->ca", Sinv, m, precision=hi)  # S⁻¹ m (C, d)
+    mSm = jnp.einsum("ca,ca->c", m, Sm, precision=hi)
 
     W1 = jnp.concatenate(
         [
@@ -201,7 +207,8 @@ def markov_suffix_logliks(
         ],
         axis=1,
     )  # (n, F)
-    return (feats @ W).T  # (C, n)
+    with jax.default_matmul_precision("highest"):  # see regression._HI
+        return (feats @ W).T  # (C, n)
 
 
 def suffix_lengths(valid_t: jax.Array) -> jax.Array:

@@ -25,6 +25,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "latent_means",
     "joint_mean",
@@ -133,7 +142,7 @@ def observed_cov(
     (marginalizable_state_space_model.py:169-256).
     """
     B = latent_cov_blocks(T, S, A, G)
-    core = jnp.einsum("ka,ijkl,lb->ijab", H, B, H)
+    core = jnp.einsum("ka,ijkl,lb->ijab", H, B, H, precision=_HI)
     core = core + jnp.eye(T, dtype=B.dtype)[:, :, None, None] * L
     return _blocks_to_matrix(core)
 
@@ -154,8 +163,8 @@ def joint_cov(
     S, A, G, H, L = map(jnp.atleast_2d, (S, A, G, H, L))
     B = latent_cov_blocks(T, S, A, G)
     CZZ = _blocks_to_matrix(B)
-    CZX = _blocks_to_matrix(jnp.einsum("ijab,bl->ijal", B, H))
-    XXb = jnp.einsum("ka,ijkl,lb->ijab", H, B, H)
+    CZX = _blocks_to_matrix(jnp.einsum("ijab,bl->ijal", B, H, precision=_HI))
+    XXb = jnp.einsum("ka,ijkl,lb->ijab", H, B, H, precision=_HI)
     XXb = XXb + jnp.eye(T, dtype=B.dtype)[:, :, None, None] * L
     CXX = _blocks_to_matrix(XXb)
     top = jnp.concatenate([CZZ, CZX], axis=1)

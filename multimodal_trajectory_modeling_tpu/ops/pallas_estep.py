@@ -25,6 +25,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -84,8 +93,7 @@ def _estep_kernel(C: int, P: int):
                 y = jnp.dot(
                     resid,
                     minv_ref[c, p, :, :],
-                    preferred_element_type=v.dtype,
-                )
+                    preferred_element_type=v.dtype, precision=_HI)
                 q = jnp.sum(y * resid, axis=1)  # (Bn,)
                 lp = const_ref[c, p] - 0.5 * q
                 acc = jnp.where(pid[:, 0] == p, lp, acc)
@@ -146,8 +154,7 @@ def _estep_kernel_single_pattern(C: int):
         for c in range(C):
             resid = jnp.where(finite, v - means_ref[c, :], 0.0)
             y = jnp.dot(
-                resid, minv_ref[c, :, :], preferred_element_type=v.dtype
-            )
+                resid, minv_ref[c, :, :], preferred_element_type=v.dtype, precision=_HI)
             q = jnp.sum(y * resid, axis=1)
             out_ref[:, c] = const_ref[0, c] - 0.5 * q
 
@@ -249,7 +256,7 @@ def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
             ln = lin_ref[:, :].astype(jnp.bfloat16)
         else:
             vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
-        Y = jnp.dot(vg, mc, preferred_element_type=dtype)
+        Y = jnp.dot(vg, mc, preferred_element_type=dtype, precision=_HI)
         # segment reduction (C·D → C): q_c = Σ_d Y_cd·v_d as a 0/1 GEMM.
         # Only C=16 output lanes (~12% MXU utilization) but measured faster
         # than VPU lane-slice sums, which force costly relayouts; the
@@ -262,8 +269,8 @@ def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
         if bf16:
             prod = prod.astype(jnp.bfloat16)
         Ssum = (kc == cc).astype(prod.dtype)
-        q = jnp.dot(prod, Ssum, preferred_element_type=dtype)  # (Bn, C)
-        qlin = jnp.dot(vg, ln, preferred_element_type=dtype)
+        q = jnp.dot(prod, Ssum, preferred_element_type=dtype, precision=_HI)  # (Bn, C)
+        qlin = jnp.dot(vg, ln, preferred_element_type=dtype, precision=_HI)
         scores = c2_ref[0, :] - 0.5 * q + qlin  # (Bn, C)
 
         na = jnp.argmax(scores, axis=1).astype(jnp.int32)  # first-max
@@ -326,8 +333,8 @@ def estep_assign_pattern_sorted(
 
     # per-(pattern, cluster) operands for the expanded quadratic form
     mp = means[None, :, :] * fmask[:, None, :]  # (P, C, D) masked means
-    lin = jnp.einsum("cpij,pcj->pic", minv, mp)  # (P, D, C)
-    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp)  # (P, C)
+    lin = jnp.einsum("cpij,pcj->pic", minv, mp, precision=_HI)  # (P, D, C)
+    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp, precision=_HI)  # (P, C)
     c2 = (logpi[None, :] + const.T - 0.5 * mMm)[:, None, :]  # (P, 1, C)
     mcat = jnp.transpose(minv, (1, 2, 0, 3)).reshape(P, D, C * D)
 
@@ -416,7 +423,7 @@ def _estep_assign_kernel_t(C: int, D: int, bf16: bool = False):
             ln = lin_ref[:, :].astype(jnp.bfloat16)
         else:
             vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
-        Yt = jnp.dot(mc, vg, preferred_element_type=dtype)  # (C*D, Bn)
+        Yt = jnp.dot(mc, vg, preferred_element_type=dtype, precision=_HI)  # (C*D, Bn)
         rep = pltpu.repeat(vm, C, axis=0)  # (C*D, Bn)
         prod = Yt * rep
         kc = jax.lax.broadcasted_iota(jnp.int32, (C, C * D), 1) // D
@@ -424,8 +431,8 @@ def _estep_assign_kernel_t(C: int, D: int, bf16: bool = False):
         if bf16:
             prod = prod.astype(jnp.bfloat16)
         Ssum = (kc == cc).astype(prod.dtype)  # (C, C*D)
-        q = jnp.dot(Ssum, prod, preferred_element_type=dtype)  # (C, Bn)
-        qlin = jnp.dot(ln, vg, preferred_element_type=dtype)  # (C, Bn)
+        q = jnp.dot(Ssum, prod, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
+        qlin = jnp.dot(ln, vg, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
         scores = c2_ref[:, :] - 0.5 * q + qlin  # (C, Bn)
 
         na = jnp.argmax(scores, axis=0).astype(jnp.int32)  # (Bn,) first-max
@@ -481,8 +488,8 @@ def estep_assign_pattern_sorted_t(
     fmask = patterns.astype(v_t.dtype)  # (P, D)
 
     mp = means[None, :, :] * fmask[:, None, :]  # (P, C, D)
-    lin = jnp.einsum("cpij,pcj->pci", minv, mp)  # (P, C, D)
-    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp)  # (P, C)
+    lin = jnp.einsum("cpij,pcj->pci", minv, mp, precision=_HI)  # (P, C, D)
+    mMm = jnp.einsum("pci,cpij,pcj->pc", mp, minv, mp, precision=_HI)  # (P, C)
     c2 = (logpi[None, :] + const.T - 0.5 * mMm)[:, :, None]  # (P, C, 1)
     mcat = jnp.transpose(minv, (1, 0, 2, 3)).reshape(P, C * D, D)
 

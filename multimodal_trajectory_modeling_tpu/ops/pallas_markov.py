@@ -30,6 +30,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 
 __all__ = [
@@ -158,8 +167,7 @@ def _markov_assign_kernel(T: int, d: int, l: int, C: int):
         ]
         feat = jnp.concatenate(pieces, axis=0)  # (K_tot, Bn)
         scores = jnp.dot(
-            wcat_ref[:, :], feat, preferred_element_type=dtype
-        )
+            wcat_ref[:, :], feat, preferred_element_type=dtype, precision=_HI)
 
         na = jnp.argmax(scores, axis=0).astype(jnp.int32)  # first-max
         prev = prev_ref[0, :]
@@ -347,8 +355,7 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
             obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
-                wg_ref[:, :], g, preferred_element_type=dtype
-            )  # (C, Bn)
+                wg_ref[:, :], g, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -362,8 +369,7 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
         mstats = jnp.dot(
-            g, onehot.astype(dtype).T, preferred_element_type=dtype
-        )  # (F, C)
+            g, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (F, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -641,8 +647,7 @@ def _markov_em_packed_kernel(
             obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
-                wacc_ref[:, :], acc, preferred_element_type=dtype
-            )  # (C, Bn)
+                wacc_ref[:, :], acc, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -654,8 +659,7 @@ def _markov_em_packed_kernel(
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
         mstats = jnp.dot(
-            acc, onehot.astype(dtype).T, preferred_element_type=dtype
-        )  # (Facc, C)
+            acc, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (Facc, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -790,8 +794,7 @@ def _markov_em_packed_multi_kernel(
             obj_p = jnp.zeros((1, R), dtype)
         else:
             scores = jnp.dot(
-                wacc_ref[:, :], acc, preferred_element_type=dtype
-            )  # (C·R, Bn)
+                wacc_ref[:, :], acc, preferred_element_type=dtype, precision=_HI)  # (C·R, Bn)
             # per-restart argmax over the C c-major slices (each an
             # R-sublane block — 8-aligned at the default R=8)
             best = scores[:R, :]
@@ -828,8 +831,7 @@ def _markov_em_packed_multi_kernel(
         )  # (C·R, Bn), row c·R + r
         counts_p = jnp.sum(onehot, axis=1).astype(jnp.int32).reshape(1, C * R)
         mstats = jnp.dot(
-            acc, onehot.T, preferred_element_type=dtype
-        )  # (Facc, C·R)
+            acc, onehot.T, preferred_element_type=dtype, precision=_HI)  # (Facc, C·R)
 
         assign_out[:, :] = jnp.where(validrow, na, C)
 
@@ -976,14 +978,13 @@ def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
         feat1 = jnp.concatenate(
             [zz, kron(x_c, x_c), kron(z_c, x_c)], axis=0
         )
-        acc = jnp.dot(w1_ref[:, :], feat1, preferred_element_type=dtype)
+        acc = jnp.dot(w1_ref[:, :], feat1, preferred_element_type=dtype, precision=_HI)
         # transition pair (t, t+1): vm_{t+1} mask; the clamped zn at
         # t == T-1 is neutralized by vm_n == 0 there
         vm_n = ((lens > t + 1) & (t < T - 1)).astype(dtype)[None, :]
         feat2 = jnp.concatenate([zz, kron(z_c, z_n)], axis=0)
         acc = acc + vm_n * jnp.dot(
-            w2_ref[:, :], feat2, preferred_element_type=dtype
-        )
+            w2_ref[:, :], feat2, preferred_element_type=dtype, precision=_HI)
 
         @pl.when(t == 0)
         def _():
@@ -1003,8 +1004,7 @@ def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
                 axis=0,
             )
             scores_out[:, :] += jnp.dot(
-                w3_ref[:, :], feat3, preferred_element_type=dtype
-            )
+                w3_ref[:, :], feat3, preferred_element_type=dtype, precision=_HI)
 
     return kernel
 
@@ -1062,8 +1062,8 @@ def _markov_stats_grid_kernel(T: int, d: int, l: int, C: int):
         rows_b = jnp.concatenate(
             [vm_n * zz, kron(z_c, z_n * vm_n), vm_n * z_c], axis=0
         )  # -> g2, g3, g7
-        ga = jnp.dot(rows_a, onehot_t, preferred_element_type=dtype)
-        gb = jnp.dot(rows_b, onehot_t, preferred_element_type=dtype)
+        ga = jnp.dot(rows_a, onehot_t, preferred_element_type=dtype, precision=_HI)
+        gb = jnp.dot(rows_b, onehot_t, preferred_element_type=dtype, precision=_HI)
 
         @pl.when((t == 0) & (pl.program_id(0) == 0))
         def _():
@@ -1091,7 +1091,7 @@ def _markov_stats_grid_kernel(T: int, d: int, l: int, C: int):
                 ],
                 axis=0,
             )
-            gc = jnp.dot(rows_c, onehot_t, preferred_element_type=dtype)
+            gc = jnp.dot(rows_c, onehot_t, preferred_element_type=dtype, precision=_HI)
             g_out[o_g6 : o_g6 + dd, :] += gc[:dd]
             g_out[o_g10 : o_g10 + d, :] += gc[dd : dd + d]
             g_out[o_len : o_len + 1, :] += gc[dd + d : dd + d + 1]
@@ -1262,8 +1262,7 @@ def _markov_feat_kernel(T: int, d: int, s: int, ks: tuple):
         lens = lens_ref[0, :]
         acc = _packed_acc_build(u, lens, T=T, d=d, s=s, ks=ks)
         phi_out[:, :] = jnp.dot(
-            sel_ref[:, :], acc, preferred_element_type=dtype
-        ).astype(phi_out.dtype)
+            sel_ref[:, :], acc, preferred_element_type=dtype, precision=_HI).astype(phi_out.dtype)
 
     return kernel
 
@@ -1358,8 +1357,7 @@ def _markov_em_feat_kernel(C: int, assign_mode: str):
             obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
-                wc_ref[:, :], phi, preferred_element_type=dtype
-            )  # (C, Bn)
+                wc_ref[:, :], phi, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -1371,8 +1369,7 @@ def _markov_em_feat_kernel(C: int, assign_mode: str):
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
         mstats = jnp.dot(
-            phi, onehot.astype(dtype).T, preferred_element_type=dtype
-        )  # (Fc_pad, C)
+            phi, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (Fc_pad, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -1434,12 +1431,17 @@ def markov_em_from_features(
         # the DMA pipeline deeper at negligible VMEM cost (measured:
         # 8192 ≈ 2% over 2048 at n=1e6); the fallback chain must end in
         # a divisor of n_pad (callers may pack with pad_to as small as
-        # 512), so the last resort is n_pad itself
+        # 512), so the last resort is n_pad itself.  The HIGHEST-
+        # precision GEMMs (see _HI) decompose the Φ operand into
+        # multi-pass splits — measured scoped-VMEM need ≈ 6× the f32 Φ
+        # block — so the block is also capped against the 16 MB scoped
+        # budget (8192 lanes OOMed at Fc_pad=112 under HIGHEST).
+        budget = 14 * 2**20
         block_n = next(
             (
                 b
                 for b in (8192, 4096, 2048, 1024, 512, 256, 128)
-                if n_pad % b == 0
+                if n_pad % b == 0 and 6 * Fc_pad * b * 4 <= budget
             ),
             n_pad,
         )
@@ -1513,8 +1515,7 @@ def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
             obj_p = jnp.zeros((1, R), dtype)
         else:
             scores = jnp.dot(
-                wc_ref[:, :], phi, preferred_element_type=dtype
-            )  # (C·R, Bn)
+                wc_ref[:, :], phi, preferred_element_type=dtype, precision=_HI)  # (C·R, Bn)
             best = scores[:R, :]
             na = jnp.zeros((R, Bn), jnp.int32)
             for c in range(1, C):
@@ -1540,8 +1541,7 @@ def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
             1, C * R
         )
         mstats = jnp.dot(
-            phi, onehot.T, preferred_element_type=dtype
-        )  # (Fc_pad, C·R)
+            phi, onehot.T, preferred_element_type=dtype, precision=_HI)  # (Fc_pad, C·R)
 
         assign_out[:, :] = jnp.where(validrow, na, C)
 
@@ -1595,13 +1595,15 @@ def markov_em_from_features_multi(
     if block_n is None:
         # the (C·R, Bn) scores and onehot tiles dominate VMEM at large R
         # — cap the lane block so they fit the ~16 MB scoped budget
+        # (the 6·Fc_pad term is the HIGHEST-precision GEMM's multi-pass
+        # Φ-split scratch, see the single-restart chain above)
         budget = 10 * 2**20
         block_n = next(
             (
                 b
                 for b in (8192, 4096, 2048, 1024, 512)
                 if n_pad % b == 0
-                and (2 * C * R + Fc_pad + R) * b * 4 <= budget
+                and (2 * C * R + 6 * Fc_pad + R) * b * 4 <= budget
             ),
             # over-budget or odd n_pad: the largest small block that
             # still divides n_pad (never a non-divisor constant)

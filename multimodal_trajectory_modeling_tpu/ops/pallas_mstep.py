@@ -44,6 +44,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -85,8 +94,8 @@ def _mstep_kernel(T: int, d: int, l: int, C: int):
             km = jax.lax.broadcasted_iota(jnp.int32, (u, K), 1) % u
             jr = jax.lax.broadcasted_iota(jnp.int32, (u, K), 0)
             F = (km == jr).astype(dtype)  # (u, K): tile(I_u, C)
-            B = W_exp * jnp.dot(U, F, preferred_element_type=dtype)
-            return jnp.dot(U.T, B, preferred_element_type=dtype)
+            B = W_exp * jnp.dot(U, F, preferred_element_type=dtype, precision=_HI)
+            return jnp.dot(U.T, B, preferred_element_type=dtype, precision=_HI)
 
         def masked_pair(a_raw, b_raw):
             ok = (
@@ -212,13 +221,13 @@ def _mstep_gram_kernel(C: int):
         km = jax.lax.broadcasted_iota(jnp.int32, (u, C * u), 1) % u
         jr = jax.lax.broadcasted_iota(jnp.int32, (u, C * u), 0)
         F = (km == jr).astype(dtype)  # (u, C·u): tile(I_u, C)
-        B = W * jnp.dot(U, F, preferred_element_type=dtype)
+        B = W * jnp.dot(U, F, preferred_element_type=dtype, precision=_HI)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             s_out[:, :] = jnp.zeros_like(s_out)
 
-        s_out[:, :] += jnp.dot(U.T, B, preferred_element_type=dtype)
+        s_out[:, :] += jnp.dot(U.T, B, preferred_element_type=dtype, precision=_HI)
 
     return kernel
 
@@ -329,16 +338,14 @@ def mstep_stats_gram_sorted(
         # Σ_p Σ_t w[p, t] · G[p, :, rows_t, cols_t]
         return sum(
             jnp.einsum(
-                "p,pcij->cij", w_pt[:, t], G[:, :, row_slices[t], col_slices[t]]
-            )
+                "p,pcij->cij", w_pt[:, t], G[:, :, row_slices[t], col_slices[t]], precision=_HI)
             for t in range(w_pt.shape[1])
         )
 
     def gather_vec(w_pt, col_slices):
         return sum(
             jnp.einsum(
-                "p,pcj->cj", w_pt[:, t], G[:, :, one, col_slices[t]]
-            )
+                "p,pcj->cj", w_pt[:, t], G[:, :, one, col_slices[t]], precision=_HI)
             for t in range(w_pt.shape[1])
         )
 
@@ -350,7 +357,7 @@ def mstep_stats_gram_sorted(
         yty=gather(pv, zsl[1:], zsl[1:]),
         sx=gather_vec(pv, zsl[:-1]),
         sy=gather_vec(pv, zsl[1:]),
-        count=jnp.einsum("pt,pc->c", pv, nseg),
+        count=jnp.einsum("pt,pc->c", pv, nseg, precision=_HI),
     )
     mstats = rops.RegressionStats(
         xtx=gather(mv, zsl, zsl),
@@ -358,12 +365,12 @@ def mstep_stats_gram_sorted(
         yty=gather(mv, xsl, xsl),
         sx=gather_vec(mv, zsl),
         sy=gather_vec(mv, xsl),
-        count=jnp.einsum("pt,pc->c", mv, nseg),
+        count=jnp.einsum("pt,pc->c", mv, nseg, precision=_HI),
     )
     istats = rops.MomentStats(
-        count=jnp.einsum("p,pc->c", iv, nseg),
-        s=jnp.einsum("p,pcj->cj", iv, G[:, :, one, zsl[0]]),
-        ss=jnp.einsum("p,pcij->cij", iv, G[:, :, zsl[0], zsl[0]]),
+        count=jnp.einsum("p,pc->c", iv, nseg, precision=_HI),
+        s=jnp.einsum("p,pcj->cj", iv, G[:, :, one, zsl[0]], precision=_HI),
+        ss=jnp.einsum("p,pcij->cij", iv, G[:, :, zsl[0], zsl[0]], precision=_HI),
     )
     pi_counts = jnp.sum(nseg, axis=0)  # (C,) total membership
     return tstats, mstats, istats, pi_counts

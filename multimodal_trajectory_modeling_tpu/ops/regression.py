@@ -31,6 +31,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU correctness: the default f32 matmul precision is bf16 multiplies;
+# the sufficient-statistics contractions subtract nearly-equal large
+# moments (normal-equations cancellation), where bf16's 2^-9 rounding
+# produced INDEFINITE covariance estimates on wide-range data (measured:
+# detL < 0 at |x|~50, collapsing EM; see PARITY.md).  Every load-bearing
+# contraction pins full f32 precision — a no-op on CPU, multi-pass on
+# the MXU (the hot kernels are HBM-bound, so the cost is hidden).
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "RegressionStats",
     "weighted_regression_stats",
@@ -70,11 +79,11 @@ def weighted_regression_stats(
     Xc = jnp.where(jnp.isfinite(X), X, 0.0)
     Yc = jnp.where(jnp.isfinite(Y), Y, 0.0)
     Wv = W * valid[:, None].astype(W.dtype)  # (N, C)
-    xtx = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Xc)
-    xty = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Yc)
-    yty = jnp.einsum("nc,ni,nj->cij", Wv, Yc, Yc)
-    sx = jnp.einsum("nc,ni->ci", Wv, Xc)
-    sy = jnp.einsum("nc,ni->ci", Wv, Yc)
+    xtx = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Xc, precision=_HI)
+    xty = jnp.einsum("nc,ni,nj->cij", Wv, Xc, Yc, precision=_HI)
+    yty = jnp.einsum("nc,ni,nj->cij", Wv, Yc, Yc, precision=_HI)
+    sx = jnp.einsum("nc,ni->ci", Wv, Xc, precision=_HI)
+    sy = jnp.einsum("nc,ni->ci", Wv, Yc, precision=_HI)
     count = jnp.sum(Wv, axis=0)
     return RegressionStats(xtx, xty, yty, sx, sy, count)
 
@@ -96,12 +105,12 @@ def weighted_regression_stats_timebatched(
     Xm = jnp.where(jnp.isfinite(X), X, 0.0) * vf[:, :, None]
     Yc = jnp.where(jnp.isfinite(Y), Y, 0.0)
     Ym = Yc * vf[:, :, None]
-    xtx = jnp.einsum("tni,tnj,nc->cij", Xm, Xm, W)
-    xty = jnp.einsum("tni,tnj,nc->cij", Xm, Yc, W)
-    yty = jnp.einsum("tni,tnj,nc->cij", Ym, Yc, W)
-    sx = jnp.einsum("tni,nc->ci", Xm, W)
-    sy = jnp.einsum("tni,nc->ci", Ym, W)
-    count = jnp.einsum("tn,nc->c", vf, W)
+    xtx = jnp.einsum("tni,tnj,nc->cij", Xm, Xm, W, precision=_HI)
+    xty = jnp.einsum("tni,tnj,nc->cij", Xm, Yc, W, precision=_HI)
+    yty = jnp.einsum("tni,tnj,nc->cij", Ym, Yc, W, precision=_HI)
+    sx = jnp.einsum("tni,nc->ci", Xm, W, precision=_HI)
+    sy = jnp.einsum("tni,nc->ci", Ym, W, precision=_HI)
+    count = jnp.einsum("tn,nc->c", vf, W, precision=_HI)
     return RegressionStats(xtx, xty, yty, sx, sy, count)
 
 
@@ -132,7 +141,7 @@ def weighted_regression_stats_gram(
     Xm = jnp.where(jnp.isfinite(X), X, 0.0) * vf[:, :, None]
     Ym = jnp.where(jnp.isfinite(Y), Y, 0.0) * vf[:, :, None]
     U = jnp.concatenate([Xm, Ym, vf[:, :, None]], axis=-1)  # (T', n, u)
-    G = jnp.einsum("tnu,tnv,nc->cuv", U, U, W)
+    G = jnp.einsum("tnu,tnv,nc->cuv", U, U, W, precision=_HI)
     p = X.shape[-1]
     q = Y.shape[-1]
     return RegressionStats(
@@ -155,7 +164,8 @@ def _psd_pinv_solve(M: jax.Array, B: jax.Array, rcond: float) -> jax.Array:
     w, U = jnp.linalg.eigh(M)
     cutoff = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
     winv = jnp.where(w > cutoff, 1.0 / w, 0.0)
-    return U @ (winv[..., None] * (U.swapaxes(-1, -2) @ B))
+    with jax.default_matmul_precision("highest"):
+        return U @ (winv[..., None] * (U.swapaxes(-1, -2) @ B))
 
 
 def solve_regression(
@@ -193,8 +203,14 @@ def solve_regression(
         raise ValueError(f"unknown mode {mode!r}")
 
     At = A.swapaxes(-1, -2)
-    rtr = yty - At @ xty - xty.swapaxes(-1, -2) @ A + At @ xtx @ A
-    sr = sy - jnp.einsum("cp,cpq->cq", sx, A)  # Σ residual
+    # THE cancellation site of the whole M step: the residual Gram
+    # `yty − AᵀXᵀY − YᵀXA + AᵀXᵀXA` subtracts moments ~10⁴× the result;
+    # at the TPU-default bf16 matmul precision the products' 2⁻⁹
+    # rounding made this INDEFINITE on wide-range data (detL̂ < 0,
+    # collapsing EM — PARITY.md round-5 finding).
+    with jax.default_matmul_precision("highest"):
+        rtr = yty - At @ xty - xty.swapaxes(-1, -2) @ A + At @ xtx @ A
+    sr = sy - jnp.einsum("cp,cpq->cq", sx, A, precision=_HI)  # Σ residual
     n = count[:, None, None]
     centered = rtr - sr[:, :, None] * sr[:, None, :] / n
     S = centered / (n - 1.0)
@@ -239,8 +255,8 @@ def masked_moment_stats(Z: jax.Array, W: jax.Array) -> MomentStats:
     Zc = jnp.where(jnp.isfinite(Z), Z, 0.0)
     Wv = W * valid[:, None].astype(W.dtype)
     count = jnp.sum(Wv, axis=0)
-    s = jnp.einsum("nc,ni->ci", Wv, Zc)
-    ss = jnp.einsum("nc,ni,nj->cij", Wv, Zc, Zc)
+    s = jnp.einsum("nc,ni->ci", Wv, Zc, precision=_HI)
+    ss = jnp.einsum("nc,ni,nj->cij", Wv, Zc, Zc, precision=_HI)
     return MomentStats(count, s, ss)
 
 
