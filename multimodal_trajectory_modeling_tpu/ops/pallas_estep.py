@@ -93,7 +93,7 @@ def _estep_kernel(C: int, P: int):
                 y = jnp.dot(
                     resid,
                     minv_ref[c, p, :, :],
-                    preferred_element_type=v.dtype, precision=_HI)
+                    preferred_element_type=v.dtype)
                 q = jnp.sum(y * resid, axis=1)  # (Bn,)
                 lp = const_ref[c, p] - 0.5 * q
                 acc = jnp.where(pid[:, 0] == p, lp, acc)
@@ -154,7 +154,7 @@ def _estep_kernel_single_pattern(C: int):
         for c in range(C):
             resid = jnp.where(finite, v - means_ref[c, :], 0.0)
             y = jnp.dot(
-                resid, minv_ref[c, :, :], preferred_element_type=v.dtype, precision=_HI)
+                resid, minv_ref[c, :, :], preferred_element_type=v.dtype)
             q = jnp.sum(y * resid, axis=1)
             out_ref[:, c] = const_ref[0, c] - 0.5 * q
 
@@ -256,7 +256,7 @@ def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
             ln = lin_ref[:, :].astype(jnp.bfloat16)
         else:
             vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
-        Y = jnp.dot(vg, mc, preferred_element_type=dtype, precision=_HI)
+        Y = jnp.dot(vg, mc, preferred_element_type=dtype)
         # segment reduction (C·D → C): q_c = Σ_d Y_cd·v_d as a 0/1 GEMM.
         # Only C=16 output lanes (~12% MXU utilization) but measured faster
         # than VPU lane-slice sums, which force costly relayouts; the
@@ -269,8 +269,8 @@ def _estep_assign_kernel(C: int, D: int, bf16: bool = False):
         if bf16:
             prod = prod.astype(jnp.bfloat16)
         Ssum = (kc == cc).astype(prod.dtype)
-        q = jnp.dot(prod, Ssum, preferred_element_type=dtype, precision=_HI)  # (Bn, C)
-        qlin = jnp.dot(vg, ln, preferred_element_type=dtype, precision=_HI)
+        q = jnp.dot(prod, Ssum, preferred_element_type=dtype)  # (Bn, C)
+        qlin = jnp.dot(vg, ln, preferred_element_type=dtype)
         scores = c2_ref[0, :] - 0.5 * q + qlin  # (Bn, C)
 
         na = jnp.argmax(scores, axis=1).astype(jnp.int32)  # first-max
@@ -423,7 +423,7 @@ def _estep_assign_kernel_t(C: int, D: int, bf16: bool = False):
             ln = lin_ref[:, :].astype(jnp.bfloat16)
         else:
             vg, mc, ln = vm, mcat_ref[:, :], lin_ref[:, :]
-        Yt = jnp.dot(mc, vg, preferred_element_type=dtype, precision=_HI)  # (C*D, Bn)
+        Yt = jnp.dot(mc, vg, preferred_element_type=dtype)  # (C*D, Bn)
         rep = pltpu.repeat(vm, C, axis=0)  # (C*D, Bn)
         prod = Yt * rep
         kc = jax.lax.broadcasted_iota(jnp.int32, (C, C * D), 1) // D
@@ -431,8 +431,8 @@ def _estep_assign_kernel_t(C: int, D: int, bf16: bool = False):
         if bf16:
             prod = prod.astype(jnp.bfloat16)
         Ssum = (kc == cc).astype(prod.dtype)  # (C, C*D)
-        q = jnp.dot(Ssum, prod, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
-        qlin = jnp.dot(ln, vg, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
+        q = jnp.dot(Ssum, prod, preferred_element_type=dtype)  # (C, Bn)
+        qlin = jnp.dot(ln, vg, preferred_element_type=dtype)  # (C, Bn)
         scores = c2_ref[:, :] - 0.5 * q + qlin  # (C, Bn)
 
         na = jnp.argmax(scores, axis=0).astype(jnp.int32)  # (Bn,) first-max

@@ -39,6 +39,54 @@ import jax.numpy as jnp
 # contraction pins full f32 precision — a no-op on CPU, multi-pass on
 # the MXU (the hot kernels are HBM-bound, so the cost is hidden).
 _HI = jax.lax.Precision.HIGHEST
+# Stats GEMMs need the feature operand's full f32 mantissa to survive
+# into the summed moments; the 0/1 onehot side is bf16-exact.  Mosaic
+# rejects per-operand precision pairs and its single-value HIGHEST
+# splits BOTH operands (measured 2.2× on the headline bench), so the
+# one-sided 3-pass split is done MANUALLY: feat = t1 + t2 + r with t1,
+# t2 bf16-exact slices, three default-precision dots against the
+# bf16-exact onehot — every product exact, the residual's final bf16
+# rounding ~2⁻²⁵ relative, below the f32 accumulation's own roundoff.
+# Score GEMMs stay default-precision (bf16 rounding only perturbs
+# argmax near ties — the same class as documented f32 reassignment
+# noise).  f64 (interpret/parity) keeps the plain dot so kernel ≡ XLA
+# trajectories stay bit-exact.
+
+
+def _split3_bf16(feat, dtype):
+    """3-term bf16 decomposition ``feat ≈ t1 + t2 + t3`` (each term
+    bf16-STORED — native single-pass GEMM operands; t1/t2 exact by
+    construction, t3's rounding ~2⁻²⁵ relative)."""
+    t1 = feat.astype(jnp.bfloat16)
+    r1 = feat - t1.astype(dtype)
+    t2 = r1.astype(jnp.bfloat16)
+    t3 = (r1 - t2.astype(dtype)).astype(jnp.bfloat16)
+    return t1, t2, t3
+
+
+def _exact_stat_dot(feat, onehot_t, dtype):
+    """Σ-over-lanes stats GEMM with exact-f32 feature products (see
+    module comment).  ``onehot_t`` entries must be exactly
+    bf16-representable (0/1 memberships are)."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return jnp.dot(feat, onehot_t, preferred_element_type=dtype)
+    oh = onehot_t.astype(jnp.bfloat16)
+    return sum(
+        jnp.dot(t, oh, preferred_element_type=dtype)
+        for t in _split3_bf16(feat, dtype)
+    )
+
+
+def _exact_stat_dot_r(sel, feat, dtype):
+    """Mirror of :func:`_exact_stat_dot` for 0/1-selection-LHS ×
+    feature-RHS dots (the long-T materializer)."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return jnp.dot(sel, feat, preferred_element_type=dtype)
+    sl = sel.astype(jnp.bfloat16)
+    return sum(
+        jnp.dot(sl, t, preferred_element_type=dtype)
+        for t in _split3_bf16(feat, dtype)
+    )
 from jax.experimental import pallas as pl
 
 __all__ = [
@@ -167,7 +215,7 @@ def _markov_assign_kernel(T: int, d: int, l: int, C: int):
         ]
         feat = jnp.concatenate(pieces, axis=0)  # (K_tot, Bn)
         scores = jnp.dot(
-            wcat_ref[:, :], feat, preferred_element_type=dtype, precision=_HI)
+            wcat_ref[:, :], feat, preferred_element_type=dtype)
 
         na = jnp.argmax(scores, axis=0).astype(jnp.int32)  # first-max
         prev = prev_ref[0, :]
@@ -355,7 +403,7 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
             obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
-                wg_ref[:, :], g, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
+                wg_ref[:, :], g, preferred_element_type=dtype)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -368,8 +416,7 @@ def _markov_em_kernel(T: int, d: int, l: int, C: int, assign_mode: str):
         subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
-        mstats = jnp.dot(
-            g, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (F, C)
+        mstats = _exact_stat_dot(g, onehot.astype(dtype).T, dtype)  # (F, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -647,7 +694,7 @@ def _markov_em_packed_kernel(
             obj_p = jnp.zeros((1, 1), dtype)
         else:
             scores = jnp.dot(
-                wacc_ref[:, :], acc, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
+                wacc_ref[:, :], acc, preferred_element_type=dtype)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -658,8 +705,7 @@ def _markov_em_packed_kernel(
         subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
-        mstats = jnp.dot(
-            acc, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (Facc, C)
+        mstats = _exact_stat_dot(acc, onehot.astype(dtype).T, dtype)  # (Facc, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -794,7 +840,7 @@ def _markov_em_packed_multi_kernel(
             obj_p = jnp.zeros((1, R), dtype)
         else:
             scores = jnp.dot(
-                wacc_ref[:, :], acc, preferred_element_type=dtype, precision=_HI)  # (C·R, Bn)
+                wacc_ref[:, :], acc, preferred_element_type=dtype)  # (C·R, Bn)
             # per-restart argmax over the C c-major slices (each an
             # R-sublane block — 8-aligned at the default R=8)
             best = scores[:R, :]
@@ -830,8 +876,7 @@ def _markov_em_packed_multi_kernel(
             axis=0,
         )  # (C·R, Bn), row c·R + r
         counts_p = jnp.sum(onehot, axis=1).astype(jnp.int32).reshape(1, C * R)
-        mstats = jnp.dot(
-            acc, onehot.T, preferred_element_type=dtype, precision=_HI)  # (Facc, C·R)
+        mstats = _exact_stat_dot(acc, onehot.T, dtype)  # (Facc, C·R)
 
         assign_out[:, :] = jnp.where(validrow, na, C)
 
@@ -978,13 +1023,13 @@ def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
         feat1 = jnp.concatenate(
             [zz, kron(x_c, x_c), kron(z_c, x_c)], axis=0
         )
-        acc = jnp.dot(w1_ref[:, :], feat1, preferred_element_type=dtype, precision=_HI)
+        acc = jnp.dot(w1_ref[:, :], feat1, preferred_element_type=dtype)
         # transition pair (t, t+1): vm_{t+1} mask; the clamped zn at
         # t == T-1 is neutralized by vm_n == 0 there
         vm_n = ((lens > t + 1) & (t < T - 1)).astype(dtype)[None, :]
         feat2 = jnp.concatenate([zz, kron(z_c, z_n)], axis=0)
         acc = acc + vm_n * jnp.dot(
-            w2_ref[:, :], feat2, preferred_element_type=dtype, precision=_HI)
+            w2_ref[:, :], feat2, preferred_element_type=dtype)
 
         @pl.when(t == 0)
         def _():
@@ -1004,7 +1049,7 @@ def _markov_scores_grid_kernel(T: int, d: int, l: int, C: int):
                 axis=0,
             )
             scores_out[:, :] += jnp.dot(
-                w3_ref[:, :], feat3, preferred_element_type=dtype, precision=_HI)
+                w3_ref[:, :], feat3, preferred_element_type=dtype)
 
     return kernel
 
@@ -1062,8 +1107,8 @@ def _markov_stats_grid_kernel(T: int, d: int, l: int, C: int):
         rows_b = jnp.concatenate(
             [vm_n * zz, kron(z_c, z_n * vm_n), vm_n * z_c], axis=0
         )  # -> g2, g3, g7
-        ga = jnp.dot(rows_a, onehot_t, preferred_element_type=dtype, precision=_HI)
-        gb = jnp.dot(rows_b, onehot_t, preferred_element_type=dtype, precision=_HI)
+        ga = _exact_stat_dot(rows_a, onehot_t, dtype)
+        gb = _exact_stat_dot(rows_b, onehot_t, dtype)
 
         @pl.when((t == 0) & (pl.program_id(0) == 0))
         def _():
@@ -1091,7 +1136,7 @@ def _markov_stats_grid_kernel(T: int, d: int, l: int, C: int):
                 ],
                 axis=0,
             )
-            gc = jnp.dot(rows_c, onehot_t, preferred_element_type=dtype, precision=_HI)
+            gc = _exact_stat_dot(rows_c, onehot_t, dtype)
             g_out[o_g6 : o_g6 + dd, :] += gc[:dd]
             g_out[o_g10 : o_g10 + d, :] += gc[dd : dd + d]
             g_out[o_len : o_len + 1, :] += gc[dd + d : dd + d + 1]
@@ -1261,8 +1306,7 @@ def _markov_feat_kernel(T: int, d: int, s: int, ks: tuple):
         u = u_ref[:, :].astype(dtype)
         lens = lens_ref[0, :]
         acc = _packed_acc_build(u, lens, T=T, d=d, s=s, ks=ks)
-        phi_out[:, :] = jnp.dot(
-            sel_ref[:, :], acc, preferred_element_type=dtype, precision=_HI).astype(phi_out.dtype)
+        phi_out[:, :] = _exact_stat_dot_r(sel_ref[:, :], acc, dtype).astype(phi_out.dtype)
 
     return kernel
 
@@ -1348,7 +1392,24 @@ def _markov_em_feat_kernel(C: int, assign_mode: str):
     ):
         Bn = phi_ref.shape[1]
         dtype = wc_ref.dtype
-        phi = phi_ref[:, :].astype(dtype)
+        # int16-quantized Φ streams as TWO int8-range planes
+        # (q = 256·(q≫8) + (q & 0xFF)) — every plane value is exactly
+        # bf16-representable, so plain default-precision GEMMs give
+        # EXACT feature products for both scores and stats at native
+        # single-pass speed (no f32 split chain; see _exact_stat_dot
+        # for the wide-Φ story)
+        q_i16 = jnp.dtype(phi_ref.dtype) == jnp.int16
+        if q_i16:
+            # int16 payloads carry <= 15 mantissa bits, so a 2-term bf16
+            # float split is EXACT: t1 = bf16(q) is an integer multiple
+            # of a power of two with |q - t1| <= 64, making the residual
+            # a bf16-exact small integer.  Both planes are then native
+            # single-pass GEMM operands with exact products.
+            qf = phi_ref[:, :].astype(dtype)
+            hi = qf.astype(jnp.bfloat16)
+            lo = (qf - hi.astype(dtype)).astype(jnp.bfloat16)
+        else:
+            phi = phi_ref[:, :].astype(dtype)
         prev = prev_ref[0, :]
         validrow = prev >= 0
         if assign_mode == "prev":
@@ -1356,8 +1417,15 @@ def _markov_em_feat_kernel(C: int, assign_mode: str):
             sw_p = jnp.zeros((1, 1), jnp.int32)
             obj_p = jnp.zeros((1, 1), dtype)
         else:
-            scores = jnp.dot(
-                wc_ref[:, :], phi, preferred_element_type=dtype, precision=_HI)  # (C, Bn)
+            if q_i16:
+                scores = jnp.dot(
+                    wc_ref[:, :], hi, preferred_element_type=dtype
+                ) + jnp.dot(
+                    wc_ref[:, :], lo, preferred_element_type=dtype
+                )  # (C, Bn)
+            else:
+                scores = jnp.dot(
+                    wc_ref[:, :], phi, preferred_element_type=dtype)  # (C, Bn)
             na = jnp.argmax(scores, axis=0).astype(jnp.int32)
             sw_p = jnp.sum(
                 ((na != prev) & validrow).astype(jnp.int32)
@@ -1368,8 +1436,13 @@ def _markov_em_feat_kernel(C: int, assign_mode: str):
         subl = jax.lax.broadcasted_iota(jnp.int32, (C, Bn), 0)
         onehot = (na[None, :] == subl) & validrow[None, :]
         counts_p = jnp.sum(onehot.astype(jnp.int32), axis=1).reshape(1, C)
-        mstats = jnp.dot(
-            phi, onehot.astype(dtype).T, preferred_element_type=dtype, precision=_HI)  # (Fc_pad, C)
+        oh_t = onehot.astype(dtype).T
+        if q_i16:
+            mstats = jnp.dot(
+                hi, oh_t, preferred_element_type=dtype
+            ) + jnp.dot(lo, oh_t, preferred_element_type=dtype)
+        else:
+            mstats = _exact_stat_dot(phi, oh_t, dtype)  # (Fc_pad, C)
 
         assign_out[0, :] = jnp.where(validrow, na, C)
 
@@ -1436,12 +1509,14 @@ def markov_em_from_features(
         # multi-pass splits — measured scoped-VMEM need ≈ 6× the f32 Φ
         # block — so the block is also capped against the 16 MB scoped
         # budget (8192 lanes OOMed at Fc_pad=112 under HIGHEST).
+        # live set ≈ Φ f32 (4B) + r1 f32 (4B) + 3 bf16 split terms (6B)
+        # ≈ 14 B/element of the Φ block (the manual exact-stats split)
         budget = 14 * 2**20
         block_n = next(
             (
                 b
                 for b in (8192, 4096, 2048, 1024, 512, 256, 128)
-                if n_pad % b == 0 and 6 * Fc_pad * b * 4 <= budget
+                if n_pad % b == 0 and 14 * Fc_pad * b <= budget
             ),
             n_pad,
         )
@@ -1506,7 +1581,16 @@ def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
     ):
         Bn = phi_ref.shape[1]
         dtype = wc_ref.dtype
-        phi = phi_ref[:, :].astype(dtype)
+        # int16 Φ: hi/lo int8-range planes, exact GEMM products at
+        # default precision (see the single-restart kernel)
+        q_i16 = jnp.dtype(phi_ref.dtype) == jnp.int16
+        if q_i16:
+            # 2-term exact bf16 float split (see single-restart kernel)
+            qf = phi_ref[:, :].astype(dtype)
+            hi = qf.astype(jnp.bfloat16)
+            lo = (qf - hi.astype(dtype)).astype(jnp.bfloat16)
+        else:
+            phi = phi_ref[:, :].astype(dtype)
         prev = prev_ref[:, :]  # (R, Bn)
         validrow = prev >= 0
         if assign_mode == "prev":
@@ -1514,8 +1598,15 @@ def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
             sw_p = jnp.zeros((1, R), jnp.int32)
             obj_p = jnp.zeros((1, R), dtype)
         else:
-            scores = jnp.dot(
-                wc_ref[:, :], phi, preferred_element_type=dtype, precision=_HI)  # (C·R, Bn)
+            if q_i16:
+                scores = jnp.dot(
+                    wc_ref[:, :], hi, preferred_element_type=dtype
+                ) + jnp.dot(
+                    wc_ref[:, :], lo, preferred_element_type=dtype
+                )  # (C·R, Bn)
+            else:
+                scores = jnp.dot(
+                    wc_ref[:, :], phi, preferred_element_type=dtype)  # (C·R, Bn)
             best = scores[:R, :]
             na = jnp.zeros((R, Bn), jnp.int32)
             for c in range(1, C):
@@ -1540,8 +1631,12 @@ def _markov_em_feat_multi_kernel(C: int, R: int, assign_mode: str):
         counts_p = jnp.sum(onehot, axis=1).astype(jnp.int32).reshape(
             1, C * R
         )
-        mstats = jnp.dot(
-            phi, onehot.T, preferred_element_type=dtype, precision=_HI)  # (Fc_pad, C·R)
+        if q_i16:
+            mstats = jnp.dot(
+                hi, onehot.T, preferred_element_type=dtype
+            ) + jnp.dot(lo, onehot.T, preferred_element_type=dtype)
+        else:
+            mstats = _exact_stat_dot(phi, onehot.T, dtype)  # (Fc_pad, C·R)
 
         assign_out[:, :] = jnp.where(validrow, na, C)
 
