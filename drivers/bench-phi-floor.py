@@ -74,14 +74,15 @@ def main() -> None:
                 s = jnp.sum(blk.astype(jnp.int32))
             else:
                 s = jnp.sum(blk.astype(jnp.float32))
+            s = s.astype(acc_dtype).reshape(1, 1)  # no scalar VMEM stores
 
             @pl.when(pl.program_id(0) == 0)
             def _():
-                out_ref[0, 0] = seed_ref[0, 0] * 0 + s.astype(acc_dtype)
+                out_ref[:, :] = seed_ref[:, :] * 0 + s
 
             @pl.when(pl.program_id(0) != 0)
             def _():
-                out_ref[0, 0] = out_ref[0, 0] + s.astype(acc_dtype)
+                out_ref[:, :] = out_ref[:, :] + s
 
         return kernel, acc_dtype
 
