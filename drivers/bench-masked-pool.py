@@ -84,36 +84,40 @@ def main() -> None:
         for r in range(args.cands)
     ]
 
-    # warm both paths (compile)
-    em.train_em_masked_kalman(
-        params_list[0], jnp.asarray(assign_list[0]), zj, xj, n_steps=1
-    )[1].block_until_ready()
-    em.train_em_masked_kalman_pool(
-        params_list[:2], assign_list[:2], zj, xj, R=2, n_steps=1
-    )
+    # the sequential trainer jits on STATIC n_steps and the pool window
+    # compile keys on R/sync_every — no cheap warm-up covers the timed
+    # configuration, so each section runs TWICE and the second (fully
+    # warm) pass is the reported number
+    def run_seq():
+        t0 = time.perf_counter()
+        iters = 0
+        for p0, a0 in zip(params_list, assign_list):
+            out = em.train_em_masked_kalman(
+                p0, jnp.asarray(a0), zj, xj, n_steps=args.steps
+            )
+            iters += int(out[2])
+            float(np.asarray(out[1][0]))  # completion barrier
+        return iters, time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    seq_iters = 0
-    for p0, a0 in zip(params_list, assign_list):
-        out = em.train_em_masked_kalman(
-            p0, jnp.asarray(a0), zj, xj, n_steps=args.steps
+    def run_pool():
+        t0 = time.perf_counter()
+        pooled = em.train_em_masked_kalman_pool(
+            params_list,
+            assign_list,
+            zj,
+            xj,
+            R=args.R,
+            n_steps=args.steps,
+            sync_every=4,
         )
-        seq_iters += int(out[2])
-        float(np.asarray(out[1][0]))  # completion barrier
-    t_seq = time.perf_counter() - t0
+        return sum(int(r[2]) for r in pooled), time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    pooled = em.train_em_masked_kalman_pool(
-        params_list,
-        assign_list,
-        zj,
-        xj,
-        R=args.R,
-        n_steps=args.steps,
-        sync_every=4,
-    )
-    pool_iters = sum(int(r[2]) for r in pooled)
-    t_pool = time.perf_counter() - t0
+    _, t_cold = run_seq()
+    seq_iters, t_seq = run_seq()
+    print(f"# sequential cold pass (incl. compile): {t_cold:.2f}s")
+    _, t_cold = run_pool()
+    pool_iters, t_pool = run_pool()
+    print(f"# pooled cold pass (incl. compile): {t_cold:.2f}s")
 
     seq_rate = seq_iters / t_seq
     pool_rate = pool_iters / t_pool

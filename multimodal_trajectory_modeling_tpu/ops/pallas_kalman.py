@@ -61,13 +61,28 @@ def _n_state_planes(d: int) -> int:
     return d + d * (d + 1) // 2 + 1
 
 
+def _param_row_len(d: int, l: int) -> int:
+    """Flat per-cluster parameter row: m | S | A | G | H | L."""
+    return d + 3 * d * d + d * l + l * l
+
+
 def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
     ntri = d * (d + 1) // 2
     npl_ = _n_state_planes(d)
     o_ll = d + ntri
+    # flat offsets into the single (C, P) SMEM parameter row — SMEM
+    # windows pad EVERY minor dim (a (C, 5, 5) f32 window allocates
+    # C·32·32·4 bytes), so six small per-matrix operands blew the 1 MB
+    # scoped-SMEM budget at pool scale (R·C = 64 rows → 1.16 MB); one
+    # flattened row pads only the last dim (C·128·4 bytes total)
+    o_m = 0
+    o_S = d
+    o_A = o_S + d * d
+    o_G = o_A + d * d
+    o_H = o_G + d * d
+    o_L = o_H + d * l
 
-    def kernel(z_ref, x_ref, m_ref, S_ref, A_ref, G_ref, H_ref, L_ref,
-               out_ref, st_ref):
+    def kernel(z_ref, x_ref, p_ref, out_ref, st_ref):
         t = pl.program_id(1)
         dtype = z_ref.dtype
         tile = z_ref.shape[-2:]  # (8, Bn)
@@ -79,9 +94,9 @@ def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
             def init_c(c, carry):
                 k = 0
                 for i in range(d):
-                    st_ref[c, i] = m_ref[c, i] * ones
+                    st_ref[c, i] = p_ref[c, o_m + i] * ones
                     for j in range(i + 1):
-                        st_ref[c, d + k] = S_ref[c, i, j] * ones
+                        st_ref[c, d + k] = p_ref[c, o_S + i * d + j] * ones
                         k += 1
                 st_ref[c, o_ll] = zeros
                 return carry
@@ -89,10 +104,14 @@ def _masked_kalman_kernel(Tc: int, d: int, l: int, C: int):
             jax.lax.fori_loop(0, C, init_c, 0)
 
         def cluster_body(c, carry):
-            Hs = [[H_ref[c, i, b] for b in range(l)] for i in range(d)]
-            As = [[A_ref[c, i, j] for j in range(d)] for i in range(d)]
-            Gs = [[G_ref[c, i, j] for j in range(d)] for i in range(d)]
-            Ls = [[L_ref[c, a, b] for b in range(l)] for a in range(l)]
+            Hs = [[p_ref[c, o_H + i * l + b] for b in range(l)]
+                  for i in range(d)]
+            As = [[p_ref[c, o_A + i * d + j] for j in range(d)]
+                  for i in range(d)]
+            Gs = [[p_ref[c, o_G + i * d + j] for j in range(d)]
+                  for i in range(d)]
+            Ls = [[p_ref[c, o_L + a * l + b] for b in range(l)]
+                  for a in range(l)]
             mu0 = tuple(st_ref[c, i] for i in range(d))
             P0 = tuple(st_ref[c, d + k] for k in range(ntri))
             ll0 = st_ref[c, o_ll]
@@ -234,8 +253,11 @@ def kalman_masked_logliks_packed(
     n_block = 8 * bn
 
     kernel, _ = _masked_kalman_kernel(Tc, d, l, C)
-    smem = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda jb, tb: (0,) * len(shape), memory_space=pltpu.SMEM
+    # one flat (C, P) parameter row in SMEM — see _masked_kalman_kernel
+    # for why six per-matrix SMEM operands don't scale to pool row counts
+    p = jnp.concatenate(
+        [a.astype(dtype).reshape(C, -1) for a in (m, S, A, G, H, L)],
+        axis=1,
     )
     ll = pl.pallas_call(
         kernel,
@@ -243,12 +265,11 @@ def kalman_masked_logliks_packed(
         in_specs=[
             pl.BlockSpec((Tc, d, 8, bn), lambda jb, tb: (tb, 0, 0, jb)),
             pl.BlockSpec((Tc, l, 8, bn), lambda jb, tb: (tb, 0, 0, jb)),
-            smem((C, d)),
-            smem((C, d, d)),
-            smem((C, d, d)),
-            smem((C, d, d)),
-            smem((C, d, l)),
-            smem((C, l, l)),
+            pl.BlockSpec(
+                (C, _param_row_len(d, l)),
+                lambda jb, tb: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((C, 8, bn), lambda jb, tb: (0, 0, jb)),
         out_shape=jax.ShapeDtypeStruct((C, 8, cols), dtype),
@@ -256,11 +277,7 @@ def kalman_masked_logliks_packed(
             pltpu.VMEM((C, _n_state_planes(d), 8, bn), dtype),
         ],
         interpret=interpret,
-    )(
-        z4, x4,
-        m.astype(dtype), S.astype(dtype), A.astype(dtype),
-        G.astype(dtype), H.astype(dtype), L.astype(dtype),
-    )
+    )(z4, x4, p)
     return ll.reshape(C, n_pad)
 
 
