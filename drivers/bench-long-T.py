@@ -214,21 +214,30 @@ def time_kalman_masked(z, x, T, params, iters=10):
     return ll_ms, xla_ms, em_ms
 
 
-def time_suffix_inference(z, x, lens, T, params, iters=10):
+def time_suffix_inference(z, x, lens, T, params, iters=50, reps=3):
     """ms per one-shot (C, n) suffix-missingness INFERENCE call on the
     routed path (`em.suffix_logliks_markov`: grid-materialized canonical
     Φ + full-precision weight GEMM on TPU, XLA slice-pair elsewhere) —
     held-out scoring / held-out model selection is this call; compare
     against the masked-filter column (its exact arbitrary-missingness
-    superset, ~26× slower at T=300 on suffix data)."""
+    superset, ~26× slower at T=300 on suffix data).
+
+    Min-of-``reps`` over ``iters`` pipelined calls: at iters=10 the
+    remote dispatch round-trip put ~2-8 ms of NOISE on each ms-scale
+    reading — the round-3/4 tables' non-monotone small-T column
+    (12.7 ms at T=32 vs 8.4 at T=64) was entirely this artifact; the
+    re-measured column is linear in T (~0.093 ms/step at n=1e5)."""
     lj = jnp.asarray(lens.astype(np.int32))
     ll = em.suffix_logliks_markov(params, z, x, lj)
     float(ll[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ll = em.suffix_logliks_markov(params, z, x, lj)
-    float(ll[0, 0])
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ll = em.suffix_logliks_markov(params, z, x, lj)
+        float(ll[0, 0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
 
 
 def time_dense(z, x, v, patterns, pid, T, params, iters=10):
